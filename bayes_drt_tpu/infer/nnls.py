@@ -1,0 +1,122 @@
+"""Jitted, batched box-constrained quadratic programming.
+
+Replaces the reference's cvxopt cone-QP call (reference:
+bayes_drt/inversion.py:1043-1067) with a block-principal-pivoting active-set
+solver that is pure XLA: each iteration is one masked K x K linear solve, and
+the whole loop is a lax.while_loop, fully vmappable over a batch of spectra
+(the TPU win the reference cannot get from a C QP solver). Solutions are
+exact (machine precision) once the active set is identified — typically a
+handful of iterations — unlike first-order methods whose accuracy stalls on
+the ill-conditioned RBF normal matrices that arise here (cond ~1e7).
+
+minimize    0.5 x^T P x + q^T x   (P symmetric positive definite)
+subject to  lb <= x <= ub
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QPResult(NamedTuple):
+    x: jax.Array
+    n_iter: jax.Array
+    kkt_violation: jax.Array
+    converged: jax.Array
+
+
+def _masked_solve(P, q, at_lb, at_ub, lb, ub):
+    """Solve the equality-constrained subproblem: clamped coords pinned at
+    their bound, free coords solve P_FF x_F = -(q_F + P_FC x_C)."""
+    clamped = jnp.logical_or(at_lb, at_ub)
+    bound_val = jnp.where(at_ub, ub, jnp.where(at_lb, lb, 0.0))
+    k = P.shape[0]
+    eye = jnp.eye(k, dtype=P.dtype)
+    # rows of clamped coords -> identity; columns of clamped coords zeroed in
+    # free rows (their contribution moves to the rhs)
+    M = jnp.where(clamped[:, None], eye, P)
+    M = jnp.where(jnp.logical_and(~clamped[:, None], clamped[None, :]), 0.0, M)
+    rhs = jnp.where(clamped, bound_val, -q - P @ bound_val)
+    return jnp.linalg.solve(M, rhs)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def solve_qp_box(P, q, lb, ub, max_iter: int = 100, tol: float = 1e-10) -> QPResult:
+    """Block principal pivoting for the box-constrained QP.
+
+    Murty's single-exchange safeguard kicks in when the violation count fails
+    to decrease, guaranteeing finite termination.
+    """
+    k = P.shape[0]
+    dtype = P.dtype
+    q = q.astype(dtype)
+    lb = jnp.broadcast_to(jnp.asarray(lb, dtype=dtype), (k,))
+    ub = jnp.broadcast_to(jnp.asarray(ub, dtype=dtype), (k,))
+
+    scale = jnp.maximum(jnp.max(jnp.abs(q)), 1.0)
+    tol_p = jnp.asarray(tol, dtype)
+    tol_d = tol * scale
+
+    def body(state):
+        at_lb, at_ub, _, it, prev_nviol, _ = state
+        x = _masked_solve(P, q, at_lb, at_ub, lb, ub)
+        g = P @ x + q
+
+        viol_f_lb = (~at_lb) & (~at_ub) & (x < lb - tol_p)
+        viol_f_ub = (~at_lb) & (~at_ub) & (x > ub + tol_p)
+        viol_lb = at_lb & (g < -tol_d)
+        viol_ub = at_ub & (g > tol_d)
+        any_viol = viol_f_lb | viol_f_ub | viol_lb | viol_ub
+        nviol = jnp.sum(any_viol).astype(jnp.int32)
+
+        # full exchange
+        full_lb = (at_lb & ~viol_lb) | viol_f_lb
+        full_ub = (at_ub & ~viol_ub) | viol_f_ub
+
+        # Murty safeguard: flip only the highest-index violation
+        idx = jnp.arange(k)
+        top = jnp.max(jnp.where(any_viol, idx, -1))
+        one_hot = idx == top
+        single_lb = jnp.where(one_hot, (at_lb & ~viol_lb) | viol_f_lb, at_lb)
+        single_ub = jnp.where(one_hot, (at_ub & ~viol_ub) | viol_f_ub, at_ub)
+
+        use_full = nviol < prev_nviol
+        new_lb = jnp.where(use_full, full_lb, single_lb)
+        new_ub = jnp.where(use_full, full_ub, single_ub)
+        done = nviol == 0
+        return (new_lb, new_ub, x, it + 1,
+                jnp.where(use_full, nviol, prev_nviol), done)
+
+    def cond(state):
+        _, _, _, it, _, done = state
+        return jnp.logical_and(it < max_iter, ~done)
+
+    # start from the active set implied by the clipped unconstrained solution
+    x0 = jnp.linalg.solve(P, -q)
+    at_lb0 = x0 < lb
+    at_ub0 = x0 > ub
+    init = (at_lb0, at_ub0, jnp.clip(x0, lb, ub), jnp.asarray(0, jnp.int32),
+            jnp.asarray(k + 1, jnp.int32), jnp.asarray(False))
+    at_lb, at_ub, x, it, _, done = jax.lax.while_loop(cond, body, init)
+
+    x = jnp.clip(x, lb, ub)
+    g = P @ x + q
+    free = (x > lb + tol_p) & (x < ub - tol_p)
+    kkt = jnp.max(jnp.where(free, jnp.abs(g), 0.0))
+    return QPResult(x=x, n_iter=it, kkt_violation=kkt, converged=done)
+
+
+def solve_nnls(P, q, max_iter: int = 100, tol: float = 1e-10) -> QPResult:
+    """Non-negative QP: lb=0, ub=inf (reference nonneg=True path,
+    inversion.py:1055-1057)."""
+    k = P.shape[0]
+    inf = jnp.asarray(jnp.inf, dtype=P.dtype)
+    return solve_qp_box(P, q, jnp.zeros((k,), P.dtype), jnp.full((k,), inf),
+                        max_iter=max_iter, tol=tol)
+
+
+solve_qp_box_batch = jax.vmap(solve_qp_box, in_axes=(0, 0, None, None))
