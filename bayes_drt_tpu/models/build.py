@@ -1,0 +1,151 @@
+"""Assembly of PosteriorConfig/PosteriorData from distribution definitions.
+
+Reproduces the reference's Stan data preparation (reference:
+bayes_drt/inversion.py:1684-2122): stacking [Z'; Z''] and [[A'],[A'']],
+mode-dependent penalty-matrix scalings and hyperparameters (the baked-in
+calibration of the hierarchical model), and outlier hyperparameters.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .posterior import DistConfig, PosteriorConfig, PosteriorData
+
+# mode-dependent multipliers on (L0, L1, L2) -- the model calibration tables
+# (reference: inversion.py:1725-1737 single dist, 1907-1927 series-parallel,
+# 1984-2010 series-2parallel, 2067-2087 multidist)
+_L_SCALES = {
+    ("optimize", "single"): (1.5 * 0.24, 1.5 * 0.16, 1.5 * 0.08),
+    ("sample", "single"): (1.0, 1.0, 0.75),
+    ("optimize", "series"): (1.5 * 0.24, 1.5 * 0.16, 1.5 * 0.08),
+    ("sample", "series"): (1.0, 1.0, 0.75),
+    ("optimize", "parallel"): (1.5 * 0.36, 1.5 * 0.16, 1.5 * 0.08),
+    ("sample", "parallel"): (1.0, 1.0, 0.75),
+    ("optimize", "multi"): (1.5 * 0.24, 1.5 * 0.16, 1.5 * 0.08),
+    ("sample", "multi"): (1.0, 1.0, 0.5),
+}
+
+
+def _x_sum_invscale(mode: str, n_series: int, n_parallel: int) -> float:
+    """Soft sum-constraint scale (reference: inversion.py:1916-1927 SP,
+    1996-2010 S2P, 2076-2087 MultiDist)."""
+    n_dist = n_series + n_parallel
+    if n_dist <= 1:
+        return 0.0
+    if mode == "optimize":
+        return 0.0
+    if n_series == 1 and n_parallel == 1:
+        return 1.0
+    if n_series == 1 and n_parallel == 2:
+        return 0.1
+    return 0.0
+
+
+def sort_distributions(distributions: dict) -> list:
+    """Canonical ordering: series first, then parallel, each sorted by name
+    (reference sorts parallel names for Series-2Parallel,
+    inversion.py:1962-1968)."""
+    series = sorted(n for n, i in distributions.items() if i["dist_type"] == "series")
+    parallel = sorted(n for n, i in distributions.items() if i["dist_type"] == "parallel")
+    return series + parallel
+
+
+def build_posterior(distributions: dict, dist_matrices: dict, frequencies,
+                    Z_scaled, mode: str = "optimize", part: str = "both",
+                    nonneg: bool = False, outliers: bool = False,
+                    fitY: bool = False, sigma_min: float = 0.002,
+                    inductance_scale: float = 1.0, outlier_lambda=None,
+                    dtype=jnp.float64):
+    """Returns (PosteriorConfig, PosteriorData).
+
+    ``Z_scaled``: complex impedance AFTER Z-scaling (reference applies
+    _scale_Z before _prep_stan_data). ``dist_matrices[name]`` must contain
+    A_re, A_im (N, K) and L0, L1, L2 (K, K) for each distribution.
+    """
+    if mode not in ("optimize", "sample"):
+        raise ValueError(f"Invalid mode {mode!r}")
+    if part not in ("both", "real", "imag"):
+        raise ValueError(f"Invalid part {part!r}")
+
+    if outlier_lambda is None:
+        outlier_lambda = 10.0  # (reference: inversion.py:1708-1712)
+
+    freq = np.asarray(frequencies, dtype=float)
+    n = len(freq)
+    names = sort_distributions(distributions)
+    n_series = sum(1 for nm in names if distributions[nm]["dist_type"] == "series")
+    n_parallel = len(names) - n_series
+
+    if fitY and (n_parallel == 0 or n_series > 0):
+        raise ValueError("fitY=True is only valid for parallel distributions")
+
+    if len(names) == 1:
+        kinds = {names[0]: "single"}
+    elif n_series <= 1 and n_parallel <= 2 and len(names) <= 3:
+        kinds = {nm: distributions[nm]["dist_type"] for nm in names}
+    else:
+        kinds = {nm: "multi" for nm in names}
+
+    dist_cfgs = []
+    A_list, L_list, x_scales = [], [], []
+    for nm in names:
+        info = distributions[nm]
+        mats = dist_matrices[nm]
+        k = mats["A_re"].shape[1]
+        dist_cfgs.append(DistConfig(name=nm, dist_type=info["dist_type"],
+                                    kernel=info.get("kernel", "DRT"), K=k))
+        A = jnp.asarray(np.concatenate([mats["A_re"], mats["A_im"]]), dtype=dtype)
+        s0, s1, s2 = _L_SCALES[(mode, kinds[nm])]
+        L = jnp.asarray(np.stack([s0 * np.asarray(mats["L0"]),
+                                  s1 * np.asarray(mats["L1"]),
+                                  s2 * np.asarray(mats["L2"])]), dtype=dtype)
+        A_list.append(A)
+        L_list.append(L)
+        if info["dist_type"] == "parallel":
+            x_scales.append(jnp.asarray(info.get("x_scale", 1.0), dtype=dtype))
+        else:
+            x_scales.append(jnp.asarray(1.0, dtype=dtype))
+
+    Z = np.asarray(Z_scaled)
+    if fitY:
+        Y = 1.0 / Z
+        target = np.concatenate([Y.real, Y.imag])
+    else:
+        target = np.concatenate([Z.real, Z.imag])
+
+    if part == "both":
+        mask = np.ones(2 * n)
+    elif part == "real":
+        mask = np.concatenate([np.ones(n), np.zeros(n)])
+    else:
+        mask = np.concatenate([np.zeros(n), np.ones(n)])
+
+    # mode-dependent hyperparameters (reference: inversion.py:1725-1737)
+    if mode == "sample":
+        ups_alpha, ups_beta = 1.0, 0.1
+        sigma_out_alpha = 5.0
+    else:
+        ups_alpha, ups_beta = 0.05, 0.1
+        sigma_out_alpha = 2.0
+
+    cfg = PosteriorConfig(dists=tuple(dist_cfgs), nonneg=nonneg,
+                          outliers=outliers, fitY=fitY, part=part)
+    data = PosteriorData(
+        A=tuple(A_list), L=tuple(L_list),
+        target=jnp.asarray(target, dtype=dtype),
+        freq=jnp.asarray(freq, dtype=dtype),
+        sigma_min=jnp.asarray(sigma_min, dtype=dtype),
+        ups_alpha=jnp.asarray(ups_alpha, dtype=dtype),
+        ups_beta=jnp.asarray(ups_beta, dtype=dtype),
+        induc_scale=jnp.asarray(inductance_scale, dtype=dtype),
+        x_sum_invscale=jnp.asarray(_x_sum_invscale(mode, n_series, n_parallel),
+                                   dtype=dtype),
+        x_scales=tuple(x_scales),
+        sigma_out_lambda=jnp.asarray(outlier_lambda, dtype=dtype),
+        sigma_out_alpha=jnp.asarray(sigma_out_alpha, dtype=dtype),
+        sigma_out_beta=jnp.asarray(1.0, dtype=dtype),
+        lik_mask=jnp.asarray(mask, dtype=dtype),
+    )
+    return cfg, data
