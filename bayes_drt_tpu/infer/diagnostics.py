@@ -1,0 +1,91 @@
+"""MCMC diagnostics: split-Rhat and bulk ESS.
+
+The reference has no diagnostics beyond Stan's console output; these power
+the ESS/sec benchmark metric (BASELINE.json) and convergence checks in the
+Inverter API. Implemented with jnp FFT autocorrelation (Geyer initial
+positive sequence), vmappable across parameters.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def split_chains(draws):
+    """(chains, draws, ...) -> (2*chains, draws//2, ...)"""
+    draws = np.asarray(draws)
+    c, n = draws.shape[:2]
+    half = n // 2
+    return np.concatenate([draws[:, :half], draws[:, half:2 * half]], axis=0)
+
+
+def rhat(draws) -> np.ndarray:
+    """Split-Rhat (Gelman et al.). draws: (chains, n, dim) -> (dim,)."""
+    x = split_chains(draws)
+    c, n = x.shape[:2]
+    chain_mean = x.mean(axis=1)
+    chain_var = x.var(axis=1, ddof=1)
+    w = chain_var.mean(axis=0)
+    b = n * chain_mean.var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    return np.sqrt(var_plus / np.where(w > 0, w, 1.0))
+
+
+def _autocov_fft(x):
+    """Per-chain autocovariance via FFT. x: (c, n, d)."""
+    c, n, d = x.shape
+    xc = x - x.mean(axis=1, keepdims=True)
+    m = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, n=m, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=m, axis=1)[:, :n].real
+    return acov / n
+
+
+def ess(draws) -> np.ndarray:
+    """Bulk effective sample size. draws: (chains, n, dim) -> (dim,)."""
+    x = split_chains(np.asarray(draws, dtype=float))
+    c, n, d = x.shape
+    if n < 4:
+        return np.full(d, float(c * n))
+    acov = _autocov_fft(x)                      # (c, n, d)
+    chain_var = acov[:, 0]                      # biased var (ddof=0)
+    mean_var = chain_var.mean(axis=0) * n / (n - 1.0)
+    var_plus = mean_var * (n - 1.0) / n + x.mean(axis=1).var(axis=0, ddof=1)
+    var_plus = np.where(var_plus > 0, var_plus, 1.0)
+
+    rho = 1.0 - (mean_var - acov.mean(axis=0)) / var_plus   # (n, d)
+    rho[0] = 1.0
+
+    out = np.empty(d)
+    for j in range(d):
+        # Geyer initial monotone positive sequence
+        t = 1
+        pair_sums = []
+        while t + 1 < n:
+            s = rho[t, j] + rho[t + 1, j]
+            if s < 0:
+                break
+            pair_sums.append(s)
+            t += 2
+        # enforce monotone decrease
+        for i in range(1, len(pair_sums)):
+            pair_sums[i] = min(pair_sums[i], pair_sums[i - 1])
+        tau = 1.0 + 2.0 * sum(pair_sums)
+        tau = max(tau, 1.0 / np.log10(c * n + 10.0))
+        out[j] = c * n / tau
+    return out
+
+
+def summary(draws) -> dict:
+    """Per-parameter posterior summary. draws: (chains, n, dim)."""
+    x = np.asarray(draws)
+    flat = x.reshape(-1, x.shape[-1])
+    return {
+        "mean": flat.mean(axis=0),
+        "sd": flat.std(axis=0, ddof=1),
+        "q2.5": np.percentile(flat, 2.5, axis=0),
+        "q97.5": np.percentile(flat, 97.5, axis=0),
+        "rhat": rhat(x),
+        "ess": ess(x),
+    }

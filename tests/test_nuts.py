@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bayes_drt_tpu.infer.nuts import NUTSConfig, sample_nuts
+
+
+def test_correlated_gaussian_moments():
+    """NUTS must recover mean/cov of a correlated Gaussian within MC error."""
+    d = 8
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((d, d))
+    cov = A @ A.T + d * np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray(rng.standard_normal(d))
+
+    def logp(q):
+        r = q - mu
+        return -0.5 * r @ (prec @ r)
+
+    n_chains = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+    q0s = jax.vmap(lambda k: jax.random.normal(k, (d,)))(keys)
+    draws, info = jax.vmap(
+        lambda q0, k: sample_nuts(logp, q0, k, warmup=500, samples=1000)
+    )(q0s, keys)
+    draws = np.asarray(draws).reshape(-1, d)
+
+    assert np.asarray(info["diverging"]).mean() < 0.01
+    est_mu = draws.mean(axis=0)
+    est_cov = np.cov(draws.T)
+    sd = np.sqrt(np.diag(cov))
+    # means within ~5 MC standard errors (ESS conservatively ~ n/10)
+    mc_err = sd / np.sqrt(len(draws) / 10)
+    assert np.all(np.abs(est_mu - np.asarray(mu)) < 5 * mc_err), (
+        est_mu - np.asarray(mu), mc_err)
+    # covariance diagonal within 20%
+    np.testing.assert_allclose(np.diag(est_cov), np.diag(cov), rtol=0.2)
+    # full covariance reasonably close in Frobenius norm
+    rel_f = np.linalg.norm(est_cov - cov) / np.linalg.norm(cov)
+    assert rel_f < 0.25, rel_f
+
+
+def test_noncentered_scales():
+    """Heteroscedastic independent Gaussian: mass adaptation must handle
+    scales spanning 4 orders of magnitude."""
+    scales = jnp.asarray([1e-2, 1e-1, 1.0, 10.0, 100.0])
+
+    def logp(q):
+        return -0.5 * jnp.sum((q / scales) ** 2)
+
+    draws, info = sample_nuts(logp, jnp.zeros(5), jax.random.PRNGKey(1),
+                              warmup=600, samples=1500)
+    draws = np.asarray(draws)
+    est_sd = draws.std(axis=0)
+    np.testing.assert_allclose(est_sd, np.asarray(scales), rtol=0.25)
+    assert np.asarray(info["diverging"]).mean() < 0.01
+
+
+def test_accept_rate_near_target():
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    draws, info = sample_nuts(logp, jnp.zeros(3), jax.random.PRNGKey(2),
+                              warmup=400, samples=400)
+    acc = float(np.asarray(info["accept_prob"]).mean())
+    assert 0.75 < acc <= 1.0, acc
+
+
+def test_deterministic_given_key():
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    d1, _ = sample_nuts(logp, jnp.zeros(2), jax.random.PRNGKey(7),
+                        warmup=50, samples=50)
+    d2, _ = sample_nuts(logp, jnp.zeros(2), jax.random.PRNGKey(7),
+                        warmup=50, samples=50)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

@@ -1,0 +1,56 @@
+"""End-to-end NUTS sampling of the hierarchical DRT posterior, validated
+against the reference's committed Stan sampling results
+(code_EchemActa/bayes_results/Gout_*.csv)."""
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from bayes_drt_tpu.models.posterior import constrain, init_unconstrained, log_density
+from bayes_drt_tpu.infer.nuts import sample_nuts
+
+from test_posterior_map import series_setup
+
+
+def test_hmc_zarc_matches_reference_posterior():
+    cfg, data, aux = series_setup("Z_ZARC_Macdonald_0.25.csv", mode="sample")
+    p0 = init_unconstrained(cfg, data, jax.random.PRNGKey(0))
+    _, unravel = ravel_pytree(p0)
+    logp = lambda q: log_density(cfg, data, unravel(q), jacobian=True)
+
+    def chain(key):
+        k1, k2 = jax.random.split(key)
+        q0, _ = ravel_pytree(init_unconstrained(cfg, data, k1))
+        return sample_nuts(logp, q0, k2, warmup=150, samples=150)
+
+    keys = jax.random.split(jax.random.PRNGKey(1234), 2)
+    draws, info = jax.vmap(chain)(keys)
+    draws = np.asarray(draws).reshape(-1, np.asarray(draws).shape[-1])
+
+    assert np.asarray(info["diverging"]).mean() < 0.25
+    assert 0.6 < np.asarray(info["accept_prob"]).mean() <= 1.0
+
+    xs = np.array([np.asarray(constrain(cfg, data, unravel(jnp.asarray(d)))["x_0"])
+                   for d in draws]) * aux["z_scale"]
+
+    ref = pd.read_csv(
+        "/root/reference/code_EchemActa/bayes_results/Gout_ZARC_Macdonald_0.25.csv")
+    Phi = np.exp(-((aux["eps"] * np.log(ref["tau"].values[:, None]
+                                        / aux["tau"][None, :])) ** 2))
+    gammas = xs @ Phi.T
+    gm = gammas.mean(axis=0)
+    rp = np.trapezoid(ref["gamma"].values, np.log(ref["tau"].values))
+
+    # posterior mean must match the committed Stan posterior mean to ~1e-2
+    rmse = np.sqrt(np.mean((gm - ref["gamma"].values) ** 2))
+    assert rmse < 0.02 * rp, f"gamma RMSE vs Stan reference: {rmse} (Rp={rp})"
+
+    # credible interval width should be the same order as the reference's
+    glo = np.percentile(gammas, 2.5, axis=0)
+    ghi = np.percentile(gammas, 97.5, axis=0)
+    width = np.mean(ghi - glo)
+    ref_width = np.mean(ref["gamma_hi"].values - ref["gamma_lo"].values)
+    assert 0.3 * ref_width < width < 3.0 * ref_width, (width, ref_width)
