@@ -1,5 +1,1121 @@
-"""Placeholder; full Inverter API lands with the solver stack."""
+"""Inverter: the user-facing API, mirroring the reference's surface
+(reference: bayes_drt/inversion.py class Inverter) on top of the TPU-native
+JAX engine.
+
+Host code (numpy/pandas) orchestrates; all numerics run through the jitted
+kernels in ops/ (matrix construction), infer/ (QP, ridge, L-BFGS, NUTS), and
+models/ (the hierarchical posterior).
+"""
+
+from __future__ import annotations
+
+import warnings
+from copy import deepcopy
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from .ops.matrices import construct_A, construct_L, construct_M, default_epsilon, get_tau_basis
+from .ops.basis import get_basis_func
+from .infer.ridge import (HyperLambdaConfig, RidgeData, run_hyper_lambda,
+                          run_hyper_weights, run_ordinary_ridge)
+from .infer.map import run_lbfgs, run_lbfgs_restarts
+from .infer.nuts import NUTSConfig, sample_nuts
+from .infer import diagnostics as mcmc_diagnostics
+from .models.build import build_posterior, sort_distributions
+from .models.posterior import (constrain, init_unconstrained, log_density,
+                               predict_target, sigma_tot)
+from .utils import check_equality, get_outlier_thresh, r2_score, rel_round
 
 
-class Inverter:  # pragma: no cover - replaced in a later milestone
-    pass
+class Inverter:
+    """EIS -> DRT/DDT inversion engine (API-compatible with the reference's
+    ``Inverter``, reference: inversion.py:28-64)."""
+
+    def __init__(self, basis_freq=None, basis="gaussian", epsilon=None,
+                 fit_inductance=True, distributions=None):
+        if distributions is None:
+            distributions = {"DRT": {"kernel": "DRT"}}
+        self._recalc_mat = True
+        self.distribution_matrices = {}
+        self.set_basis_freq(basis_freq)
+        self.set_basis(basis)
+        self.set_epsilon(epsilon)
+        self.set_fit_inductance(fit_inductance)
+        self.set_distributions(distributions)
+        self._cached_distributions = deepcopy(self.distributions)
+        self.f_train = np.array([0.0])
+        self.Z_train = None
+        self.f_pred = None
+        self.prediction_matrices = {}
+        self._Z_scale = 1.0
+        self._init_params = {}
+        self.distribution_fits = {}
+        self.error_fit = {}
+        self._iter_history = None
+        self.fit_type = None
+        self.cv_result = None
+        self._sample_result = None
+        self._opt_result = None
+        self.sample_diagnostics = None
+
+    # --- configuration properties (cache invalidation mirrors
+    #     inversion.py:4069-4110) ---------------------------------------
+
+    def set_basis_freq(self, basis_freq):
+        self._basis_freq = None if basis_freq is None else np.asarray(basis_freq, float)
+        self._recalc_mat = True
+        self.f_pred = None
+
+    def get_basis_freq(self):
+        return self._basis_freq
+
+    basis_freq = property(get_basis_freq, set_basis_freq)
+
+    def set_basis(self, basis):
+        get_basis_func(basis)  # validate
+        self._basis = basis
+        self._recalc_mat = True
+        self.f_pred = None
+
+    def get_basis(self):
+        return self._basis
+
+    basis = property(get_basis, set_basis)
+
+    def set_epsilon(self, epsilon):
+        self._epsilon = epsilon
+        self._recalc_mat = True
+        self.f_pred = None
+
+    def get_epsilon(self):
+        return self._epsilon
+
+    epsilon = property(get_epsilon, set_epsilon)
+
+    def set_fit_inductance(self, fit_inductance):
+        self._fit_inductance = bool(fit_inductance)
+
+    def get_fit_inductance(self):
+        return self._fit_inductance
+
+    fit_inductance = property(get_fit_inductance, set_fit_inductance)
+
+    def set_distributions(self, distributions):
+        """Validate/normalize the distributions mini-DSL
+        (reference: inversion.py:66-131)."""
+        distributions = deepcopy(distributions)
+        for name, info in distributions.items():
+            if info.get("kernel") not in ("DRT", "DDT"):
+                raise ValueError(f"Invalid kernel {info.get('kernel')!r} for "
+                                 f"distribution '{name}'. Options are DRT, DDT")
+            if info["kernel"] == "DRT":
+                if info.get("dist_type", "series") != "series":
+                    warnings.warn(
+                        f"dist_type for DRT kernel must be series. Overwriting "
+                        f"supplied dist_type {info['dist_type']!r} for "
+                        f"distribution '{name}' with 'series'")
+                info["dist_type"] = "series"
+                invalid = set(info) & {"symmetry", "bc", "ct", "k_ct"}
+                if invalid:
+                    warnings.warn(f"The following keys are invalid for "
+                                  f"distribution '{name}': {sorted(invalid)}. "
+                                  f"These keys will be ignored")
+            else:
+                if info.get("dist_type", "parallel") not in ("series", "parallel"):
+                    raise ValueError(f"Invalid dist_type {info.get('dist_type')!r} "
+                                     f"for distribution '{name}'")
+                if info.get("symmetry", "planar") not in ("planar", "spherical"):
+                    raise ValueError(f"Invalid symmetry {info.get('symmetry')!r} "
+                                     f"for distribution '{name}'")
+                if info.get("bc", "transmissive") not in ("transmissive", "blocking"):
+                    raise ValueError(f"Invalid bc {info.get('bc')!r} for "
+                                     f"distribution '{name}'")
+                if info.get("ct", False) not in (True, False):
+                    raise ValueError(f"Invalid ct {info.get('ct')!r} for "
+                                     f"distribution '{name}'")
+                if info.get("ct", False) and "k_ct" not in info:
+                    raise ValueError(f"k_ct must be supplied for distribution "
+                                     f"'{name}' if ct==True")
+                defaults = {"dist_type": "parallel", "symmetry": "planar",
+                            "bc": "blocking", "ct": False}
+                defaults.update(info)
+                distributions[name] = defaults
+            self.distribution_matrices.setdefault(name, {})
+        self._distributions = distributions
+        self._recalc_mat = True
+        self.f_pred = None
+
+    def get_distributions(self):
+        return self._distributions
+
+    distributions = property(get_distributions, set_distributions)
+
+    # --- scaling (reference: inversion.py:2411-2450) --------------------
+
+    def _scale_Z(self, Z, fit_type):
+        num_series = sum(1 for i in self.distributions.values()
+                         if i["dist_type"] == "series")
+        num_par = sum(1 for i in self.distributions.values()
+                      if i["dist_type"] == "parallel")
+        zmod = np.abs(Z)
+        if num_par == 1 and num_series == 0 and fit_type != "ridge":
+            name = [n for n, i in self.distributions.items()
+                    if i["dist_type"] == "parallel"][0]
+            info = self.distributions[name]
+            if info["kernel"] == "DDT" and info.get("symmetry") == "planar":
+                ystar_std = 14.0 if info.get("bc") == "transmissive" else 2.4
+                ymod = np.abs(1.0 / Z)
+                self._Z_scale = ystar_std * np.sqrt(len(Z) / 81) / np.std(ymod)
+            else:
+                self._Z_scale = np.std(zmod) / np.sqrt(len(Z) / 81)
+        else:
+            self._Z_scale = np.std(zmod) / np.sqrt(len(Z) / 81)
+        return Z / self._Z_scale
+
+    def _rescale_coef(self, coef, dist_type):
+        if dist_type == "parallel":
+            return coef / self._Z_scale
+        return coef * self._Z_scale
+
+    # --- weights (reference: inversion.py:2338-2395) --------------------
+
+    def _format_weights(self, frequencies, Z, weights, part):
+        if weights is None or (isinstance(weights, str) and weights == "unity"):
+            weights = np.ones(len(frequencies)) * (1 + 1j)
+        elif isinstance(weights, str):
+            if weights == "modulus":
+                weights = (1 + 1j) / np.abs(Z)
+            elif weights == "Orazem":
+                weights = (1 + 1j) / (np.abs(Z.real) + np.abs(Z.imag))
+            elif weights == "proportional":
+                weights = 1 / np.abs(Z.real) + 1j / np.abs(Z.imag)
+            elif weights == "prop_adj":
+                zmod2 = np.real(Z * Z.conjugate())
+                q25 = np.percentile(zmod2, 25)
+                weights = 1 / (np.abs(Z.real) + q25) + 1j / (np.abs(Z.imag) + q25)
+            else:
+                raise ValueError(
+                    f"Invalid weights argument {weights!r}. String options are "
+                    "'unity', 'modulus', 'Orazem', 'proportional', and 'prop_adj'")
+        elif isinstance(weights, (float, int)):
+            weights = np.ones(len(frequencies)) * (1 + 1j) * weights
+        elif isinstance(weights, complex):
+            weights = np.ones(len(frequencies)) * weights
+        else:
+            weights = np.asarray(weights)
+            if len(weights) != len(frequencies):
+                raise ValueError("Weights array must match length of data")
+
+        weights = np.asarray(weights)
+        if part == "both":
+            if np.isreal(weights).all():
+                weights = weights + 1j * weights
+        elif part == "real":
+            weights = np.real(weights) + 1j * np.ones(len(frequencies))
+        elif part == "imag":
+            if np.isreal(weights).all():
+                weights = np.ones(len(frequencies)) + 1j * weights
+        else:
+            raise ValueError(f"Invalid part {part!r}. Options are 'both', "
+                             "'real', or 'imag'")
+        return weights
+
+    # --- matrix preparation (reference: inversion.py:2127-2336) ---------
+
+    def _dist_tau_epsilon(self, name, frequencies):
+        info = self.distributions[name]
+        basis_freq = info.get("basis_freq", self.basis_freq)
+        if basis_freq is None:
+            tau = get_tau_basis(frequencies)
+        else:
+            tau = 1.0 / (2 * np.pi * np.asarray(basis_freq, float))
+        eps = info.get("epsilon", self.epsilon)
+        if eps is None:
+            eps = default_epsilon(tau)
+        return tau, eps
+
+    def _prep_matrices(self, frequencies, Z, part, weights, scale_Z, penalty,
+                       fit_type, dZ=False):
+        frequencies = np.asarray(frequencies, float)
+        Z = np.asarray(Z)
+        if len(frequencies) != len(Z):
+            raise ValueError("Length of frequencies and Z must be equal")
+
+        sort_idx = np.argsort(frequencies)[::-1]
+        frequencies = frequencies[sort_idx]
+        Z = Z[sort_idx]
+        self.Z_train = Z
+
+        if not check_equality(self.distributions, self._cached_distributions):
+            self._recalc_mat = True
+            self.f_pred = None
+
+        if not np.array_equal(rel_round(self.f_train, 10),
+                              rel_round(frequencies, 10)):
+            self.f_train = frequencies
+            self._recalc_mat = True
+
+        if scale_Z:
+            Z_scaled = self._scale_Z(Z, fit_type)
+            if isinstance(weights, (list, np.ndarray)):
+                weights = np.asarray(weights) / self._Z_scale
+        else:
+            self._Z_scale = 1.0
+            Z_scaled = Z
+
+        w = self._format_weights(frequencies, Z_scaled, weights, part)
+
+        dist_mat = {}
+        for name, info in self.distributions.items():
+            tau, eps = self._dist_tau_epsilon(name, frequencies)
+            self.distributions[name]["tau"] = tau
+            self.distributions[name]["epsilon"] = eps
+            mats = self.distribution_matrices[name]
+
+            if self._recalc_mat or "A_re" not in mats:
+                kw = dict(tau=tau, basis=self.basis, epsilon=eps,
+                          kernel=info["kernel"], dist_type=info["dist_type"],
+                          symmetry=info.get("symmetry", "planar"),
+                          bc=info.get("bc", "transmissive"),
+                          ct=info.get("ct", False), k_ct=info.get("k_ct", None))
+                mats["A_re"] = np.asarray(construct_A(frequencies, "real", **kw))
+                mats["A_im"] = np.asarray(construct_A(frequencies, "imag", **kw))
+
+            f_coll = 1.0 / (2 * np.pi * tau)
+            if penalty == "integral":
+                for order in (0, 1, 2):
+                    mats[f"M{order}"] = np.asarray(
+                        construct_M(f_coll, basis=self.basis, order=order, epsilon=eps))
+            else:
+                for order in (0, 1, 2):
+                    mats[f"L{order}"] = np.asarray(
+                        construct_L(f_coll, tau=tau, basis=self.basis,
+                                    epsilon=eps, order=order))
+            if penalty == "cholesky":
+                import scipy.linalg
+                for order in (0, 1, 2):
+                    M = np.asarray(construct_M(f_coll, basis=self.basis,
+                                               order=order, epsilon=eps))
+                    mats[f"M{order}"] = M
+                    mats[f"L{order}"] = scipy.linalg.cholesky(M)
+
+            if dZ and info["kernel"] == "DRT" and "B" not in mats:
+                # dZ'/dlntau differentiation matrix (reference: inversion.py:2273-2285)
+                dlnt = np.mean(np.diff(np.log(tau)))
+                b_tau = np.logspace(np.log10(np.exp(np.log(tau[0]) - dlnt / 2)),
+                                    np.log10(np.exp(np.log(tau[-1]) + dlnt / 2)),
+                                    len(tau) + 1)
+                B_pre = np.asarray(construct_A(
+                    1.0 / (2 * np.pi * b_tau), "real", tau=tau, basis=self.basis,
+                    epsilon=eps, kernel=info["kernel"], dist_type=info["dist_type"],
+                    symmetry=info.get("symmetry", "planar"),
+                    bc=info.get("bc", "transmissive"), ct=info.get("ct", False),
+                    k_ct=info.get("k_ct", None)))
+                mats["B"] = B_pre[1:, :] - B_pre[:-1, :]
+
+            dist_mat[name] = dict(mats)
+
+        self._recalc_mat = False
+        self._cached_distributions = deepcopy(self.distributions)
+        return frequencies, Z_scaled, w, dist_mat
+
+    # ===================================================================
+    # Ridge fits (reference: inversion.py:142-945)
+    # ===================================================================
+
+    def ridge_fit(self, frequencies, Z, part="both", penalty="discrete",
+                  reg_ord=2, L1_penalty=0, scale_Z=True, nonneg=True,
+                  weights=None, preset=None,
+                  hyper_lambda=True, hl_solution="analytic", hl_beta=2.5,
+                  hl_fbeta=None, lambda_0=1e-2,
+                  cv_lambdas=np.logspace(-10, 5, 31),
+                  hyper_weights=False, hw_beta=2, hw_wbar=1,
+                  xtol=1e-3, max_iter=20,
+                  hyper_a=False, alpha_a=2, hl_beta_a=2, hyper_b=False, sb=1,
+                  x0=None, dZ=False, dZ_power=0.5):
+        """Ridge / hierarchical-ridge fit of a single distribution
+        (reference: inversion.py:142-900)."""
+        if preset is not None:
+            if preset == "Ciucci":
+                penalty, lambda_0, hl_fbeta = "discrete", "cv", 0.1
+            elif preset == "Huang":
+                penalty, hl_beta, lambda_0, weights = "integral", 2.5, 1e-2, "modulus"
+            else:
+                raise ValueError(f"Invalid preset {preset!r}. Options are "
+                                 "['Ciucci', 'Huang']")
+
+        if penalty in ("discrete", "cholesky"):
+            if np.min(hl_beta) <= 1:
+                raise ValueError("hl_beta must be greater than 1 for penalty "
+                                 "'cholesky' and 'discrete'")
+        elif penalty == "integral":
+            if np.min(hl_beta) <= 2:
+                raise ValueError("hl_beta must be greater than 2 for penalty "
+                                 "'integral'")
+        else:
+            raise ValueError(f"Invalid penalty argument {penalty!r}. Options "
+                             "are 'integral', 'discrete', and 'cholesky'")
+        if hyper_lambda and hyper_weights:
+            raise ValueError("hyper_lambda and hyper_weights fits cannot be "
+                             "performed simultaneously")
+        if len(self.distributions) > 1:
+            raise ValueError("ridge_fit cannot be used to fit multiple distributions")
+        if hl_solution not in ("analytic", "lm"):
+            raise ValueError(f"Invalid hl_solution {hl_solution!r}")
+        if hl_solution == "lm":
+            warnings.warn("hl_solution='lm' is not implemented in the TPU "
+                          "engine; using the analytic lambda solution")
+
+        if isinstance(lambda_0, str) and lambda_0 == "cv":
+            lambda_0 = self.ridge_ReImCV(
+                frequencies, Z, lambdas=cv_lambdas, penalty=penalty,
+                hyper_lambda=hyper_lambda, hl_solution="analytic",
+                hl_beta=hl_beta, hl_fbeta=hl_fbeta, reg_ord=reg_ord,
+                L1_penalty=L1_penalty, x0=x0, weights=weights, xtol=xtol,
+                max_iter=max_iter, scale_Z=scale_Z, nonneg=nonneg, dZ=dZ,
+                dZ_power=dZ_power, hyper_a=hyper_a, alpha_a=alpha_a,
+                hl_beta_a=hl_beta_a, hyper_b=hyper_b, sb=sb)
+
+        dist_name = list(self.distributions.keys())[0]
+        dist_info = self.distributions[dist_name]
+        if dist_info["kernel"] != "DRT" and dZ:
+            warnings.warn("dZ should only be set to True for DRT recovery. "
+                          "Proceeding with dZ=False")
+            dZ = False
+
+        target = np.asarray(Z) if dist_info["dist_type"] == "series" else 1.0 / np.asarray(Z)
+        frequencies, target_scaled, w, dist_mat = self._prep_matrices(
+            frequencies, target, part, weights, scale_Z, penalty, "ridge", dZ=dZ)
+        dist_info = self.distributions[dist_name]
+
+        if dist_info["dist_type"] == "parallel" and scale_Z:
+            # rescale so that Z (not Y) is the scaled variable; avoids tiny
+            # admittances being ignored in fitting (reference: inversion.py:376-382)
+            Z_sorted = 1.0 / np.asarray(self.Z_train)  # Z_train holds the target (=1/Z)
+            Z_scaled2 = self._scale_Z(Z_sorted, "ridge")
+            target_scaled = 1.0 / Z_scaled2
+
+        mats = dist_mat[dist_name]
+        tau = dist_info["tau"]
+        eps = dist_info["epsilon"]
+        series = dist_info["dist_type"] == "series"
+        n_fixed = 2 if series else 0
+        kb = mats["A_re"].shape[1]
+        k = kb + n_fixed
+
+        A_re = np.zeros((len(frequencies), k))
+        A_im = np.zeros((len(frequencies), k))
+        if series:
+            A_re[:, 0] = 1.0
+            if self.fit_inductance:
+                # inductance column scaled by 1e-4 (reference: inversion.py:415-417)
+                A_im[:, 1] = 2 * np.pi * frequencies * 1e-4
+        A_re[:, n_fixed:] = mats["A_re"]
+        A_im[:, n_fixed:] = mats["A_im"]
+
+        if penalty in ("integral", "cholesky"):
+            L2_base = []
+            for order in (0, 1, 2):
+                M = np.zeros((k, k))
+                M[n_fixed:, n_fixed:] = mats[f"M{order}"]
+                L2_base.append(M)
+            L_ops = np.zeros((3, kb, k))
+        else:
+            L_ops = []
+            L2_base = []
+            for order in (0, 1, 2):
+                L = np.concatenate([np.zeros((kb, n_fixed)), mats[f"L{order}"]], axis=1)
+                L_ops.append(L)
+                L2_base.append(L.T @ L)
+            L_ops = np.array(L_ops)
+        L2_base = np.array(L2_base)
+
+        if isinstance(reg_ord, (int, np.integer)):
+            frac = np.zeros(3)
+            frac[reg_ord] = 1.0
+        else:
+            frac = np.asarray(reg_ord, float)
+
+        L1_vec = np.ones(k) * np.sqrt(np.pi) / eps * L1_penalty
+        L1_vec[:n_fixed] = 0.0
+
+        if nonneg:
+            lb = np.zeros(k)
+        else:
+            # reference quirk: free coefficients bounded below at -10 (scaled
+            # units), first two coords (R_inf, inductance) still >= 0
+            # (reference: inversion.py:1058-1064)
+            lb = np.full(k, -10.0)
+            lb[:2] = 0.0
+        ub = np.full(k, np.inf)
+
+        w_re, w_im = np.real(w), np.imag(w)
+        data = RidgeData(
+            WA_re=jnp.asarray(w_re[:, None] * A_re),
+            WA_im=jnp.asarray(w_im[:, None] * A_im),
+            WT_re=jnp.asarray(w_re * target_scaled.real),
+            WT_im=jnp.asarray(w_im * target_scaled.imag),
+            L2_base=jnp.asarray(L2_base), L_ops=jnp.asarray(L_ops),
+            L1_vec=jnp.asarray(L1_vec), reg_frac=jnp.asarray(frac),
+            lb=jnp.asarray(lb), ub=jnp.asarray(ub))
+
+        delta_mask = np.ones(k)
+        if series and (not self.fit_inductance or part == "real"):
+            delta_mask[1] = 0.0
+
+        if hyper_lambda:
+            cfg = HyperLambdaConfig(
+                part=part, penalty="integral" if penalty == "integral" else "discrete",
+                use_fbeta=hl_fbeta is not None, n_fixed=n_fixed,
+                max_iter=max_iter, use_dZ=bool(dZ),
+                use_hyper_a=hyper_a, use_hyper_b=hyper_b)
+            B = None
+            dZ_scale = 1.0
+            if dZ:
+                dlnt = np.mean(np.diff(np.log(tau)))
+                B_aug = np.concatenate([np.zeros((kb, n_fixed)), mats["B"]], axis=1)
+                B = jnp.asarray(B_aug)
+                dZ_scale = dlnt / 0.23026
+            x_init = np.full(k, 1e-6) if x0 is None else np.asarray(x0, float)
+            res = run_hyper_lambda(
+                cfg, data, jnp.asarray(x_init), np.broadcast_to(np.asarray(hl_beta, float), (3,)),
+                float(lambda_0), hl_fbeta=float(hl_fbeta) if hl_fbeta is not None else 0.1,
+                sb=np.broadcast_to(np.asarray(sb, float), (3,)),
+                alpha_a=np.broadcast_to(np.asarray(alpha_a, float), (3,)),
+                beta_a=np.broadcast_to(np.asarray(hl_beta_a, float), (3,)),
+                B=B, dZ_scale=dZ_scale, dZ_power=dZ_power, xtol=xtol,
+                delta_mask=jnp.asarray(delta_mask))
+            if not bool(res.converged):
+                warnings.warn(f"Hyperparametric solution did not converge within "
+                              f"{max_iter} iterations")
+            coef = np.asarray(res.coef)
+            fit_info = {"coef": coef.copy(),
+                        "lambda_vectors": np.asarray(res.lam_vectors),
+                        "cost": float(res.cost)}
+        elif hyper_weights:
+            wbar = self._format_weights(frequencies, target_scaled, hw_wbar, part)
+            res = run_hyper_weights(
+                part, data, jnp.asarray(A_re), jnp.asarray(A_im),
+                jnp.asarray(target_scaled.real), jnp.asarray(target_scaled.imag),
+                float(lambda_0), float(hw_beta), jnp.asarray(np.real(wbar)),
+                jnp.asarray(np.imag(wbar)), max_iter=max_iter, xtol=xtol,
+                delta_mask=jnp.asarray(delta_mask))
+            if not bool(res.converged):
+                warnings.warn(f"Hyperparametric solution did not converge within "
+                              f"{max_iter} iterations")
+            coef = np.asarray(res.coef)
+            fit_info = {"coef": coef.copy(),
+                        "weights": np.asarray(res.weights_re)
+                        + 1j * np.asarray(res.weights_im),
+                        "cost": float(res.cost)}
+        else:
+            res = run_ordinary_ridge(part, data, float(lambda_0))
+            coef = np.asarray(res.coef)
+            fit_info = {"coef": coef.copy(), "cost": float(res.cost)}
+
+        # part-specific offset recovery (reference: inversion.py:854-873)
+        if series and part == "imag":
+            zr_pred = A_re[:, 2:] @ coef[2:]
+            coef[0] = np.mean(target_scaled.real - zr_pred)
+        elif series and part == "real" and self.fit_inductance:
+            zi_pred = A_im[:, 2:] @ coef[2:]
+            basis_vec = 2 * np.pi * frequencies * 1e-4
+            coef[1] = (basis_vec @ (target_scaled.imag - zi_pred)) / (basis_vec @ basis_vec)
+
+        fit_info["scaled_coef"] = coef.copy()
+        if scale_Z:
+            coef = self._rescale_coef(coef, dist_info["dist_type"])
+        if series:
+            coef = np.asarray(coef, dtype=float)
+            coef[1] *= 1e-4
+            if not self.fit_inductance:
+                coef[1] = 0.0
+            self.R_inf = coef[0]
+            self.inductance = coef[1]
+            fit_info["coef"] = coef[2:]
+        else:
+            self.R_inf = 0.0
+            self.inductance = 0.0
+            fit_info["coef"] = np.asarray(coef, dtype=float)
+
+        self.distribution_fits = {dist_name: fit_info}
+        self.f_pred = None
+        self.fit_type = "ridge"
+
+    def ridge_ReImCV(self, frequencies, Z, lambdas=np.logspace(-10, 5, 31), **kw):
+        """Re-Im cross-validation for lambda_0 (reference: inversion.py:902-945)."""
+        import pandas as pd
+        recv = np.zeros(len(lambdas))
+        imcv = np.zeros(len(lambdas))
+        Z = np.asarray(Z)
+        for i, lam in enumerate(lambdas):
+            self.ridge_fit(frequencies, Z, part="real", lambda_0=float(lam), **kw)
+            zi_pred = np.imag(self.predict_Z(frequencies))
+            self.ridge_fit(frequencies, Z, part="imag", lambda_0=float(lam), **kw)
+            zr_pred = np.real(self.predict_Z(frequencies))
+            recv[i] = np.sum((Z.real - zr_pred) ** 2)
+            imcv[i] = np.sum((Z.imag - zi_pred) ** 2)
+        totcv = recv + imcv
+        min_lam = float(lambdas[np.argmin(totcv)])
+        if min_lam in (np.min(lambdas), np.max(lambdas)):
+            warnings.warn(
+                f"Optimal lambda_0 {min_lam} determined by Re-Im CV is at the "
+                "boundary of the evaluated range. Re-run with an expanded "
+                "lambda_0 range to obtain an accurate estimate.")
+        self.cv_result = pd.DataFrame(
+            np.array([lambdas, recv, imcv, totcv]).T,
+            columns=["lambda", "recv", "imcv", "totcv"])
+        return min_lam
+
+    # ===================================================================
+    # Hierarchical Bayesian fits (reference: inversion.py:1072-1289)
+    # ===================================================================
+
+    def fit(self, frequencies, Z, part="both", scale_Z=True, nonneg=False,
+            outliers=False, check_outliers=True, init_from_ridge=False,
+            ridge_kw=None, sigma_min=0.002, inductance_scale=1.0,
+            outlier_lambda=None, mode="optimize", random_seed=1234,
+            max_iter=4000, warmup=200, samples=200, chains=2,
+            fitY=False, n_restarts=2, max_tree_depth=10, adapt_delta=0.9):
+        """MAP (mode='optimize') or full HMC (mode='sample') fit of the
+        calibrated hierarchical Bayesian model."""
+        if ridge_kw is None:
+            ridge_kw = {}
+
+        init_values = None
+        if init_from_ridge:
+            if len(self.distributions) > 1:
+                raise ValueError("Ridge initialization can only be performed "
+                                 "for single-distribution fits")
+            init_values = self._get_init_from_ridge(frequencies, Z, nonneg,
+                                                    outliers, inductance_scale,
+                                                    ridge_kw)
+            self._init_params = init_values
+
+        frequencies, Z_scaled, _, dist_mat = self._prep_matrices(
+            frequencies, Z, part, None, scale_Z, "discrete",
+            "map" if mode == "optimize" else "bayes")
+        Z = self.Z_train
+
+        if outliers == "auto":
+            outlier_idx = self.check_outliers(frequencies, Z, threshold=4,
+                                              use_existing_fit=init_from_ridge,
+                                              **ridge_kw)
+            if len(outlier_idx) > 0:
+                outliers = True
+                warnings.warn(
+                    f"Identified likely outliers at indices "
+                    f"{outlier_idx.ravel()}, f={frequencies[outlier_idx.ravel()]} "
+                    "Hz. An outlier-robust error model will be used. To disable "
+                    "this behavior, pass outliers=False.")
+            else:
+                outliers = False
+            # matrices were invalidated by the internal ridge fit; rebuild
+            frequencies, Z_scaled, _, dist_mat = self._prep_matrices(
+                frequencies, Z, part, None, scale_Z, "discrete",
+                "map" if mode == "optimize" else "bayes")
+
+        cfg, data = build_posterior(
+            self.distributions, dist_mat, frequencies, Z_scaled, mode=mode,
+            part=part, nonneg=nonneg, outliers=bool(outliers), fitY=fitY,
+            sigma_min=sigma_min, inductance_scale=inductance_scale,
+            outlier_lambda=outlier_lambda)
+        self.stan_model_name = cfg.model_name()
+        self._posterior = (cfg, data)
+        if cfg.model_name().startswith("Series-Parallel") and not nonneg:
+            warnings.warn("For mixed series-parallel models, it is highly "
+                          "recommended to set nonneg=True")
+
+        names = sort_distributions(self.distributions)
+        key = jax.random.PRNGKey(random_seed)
+
+        if mode == "optimize":
+            loss = lambda p: -log_density(cfg, data, p, jacobian=False)
+            if init_values is not None:
+                p0 = init_unconstrained(cfg, data, key, init_values=init_values)
+                res = run_lbfgs(loss, p0, max_iter=max_iter)
+            else:
+                init_fn = lambda k: init_unconstrained(cfg, data, k)
+                res = run_lbfgs_restarts(loss, init_fn, key, n_restarts,
+                                         max_iter=max_iter)
+            c = jax.tree.map(np.asarray, constrain(cfg, data, res.params))
+            pred = np.asarray(predict_target(cfg, data, c))
+            st = np.asarray(sigma_tot(cfg, data, c, jnp.asarray(pred)))
+            self._opt_result = self._stan_style_result(cfg, names, c, pred, st)
+            self._opt_result["lp__"] = -float(res.value)
+            self._map_result = res
+            self.fit_type = "map"
+        elif mode == "sample":
+            logp_template = init_unconstrained(cfg, data, key)
+            _, unravel = ravel_pytree(logp_template)
+            logp = lambda q: log_density(cfg, data, unravel(q), jacobian=True)
+            nuts_cfg = NUTSConfig(max_depth=max_tree_depth, delta=adapt_delta)
+
+            def one_chain(chain_key):
+                k_init, k_run = jax.random.split(chain_key)
+                if init_values is not None:
+                    p0 = init_unconstrained(cfg, data, k_init,
+                                            init_values=init_values)
+                else:
+                    p0 = init_unconstrained(cfg, data, k_init)
+                q0, _ = ravel_pytree(p0)
+                return sample_nuts(logp, q0, k_run, warmup=warmup,
+                                   samples=samples, cfg=nuts_cfg)
+
+            keys = jax.random.split(key, chains)
+            draws, info = jax.vmap(one_chain)(keys)
+            draws_np = np.asarray(draws)      # (chains, samples, D)
+            self._raw_draws = draws_np
+            self._unravel = unravel
+
+            # constrained per-draw quantities, Stan-result style
+            flat = draws_np.reshape(-1, draws_np.shape[-1])
+            cons = jax.vmap(lambda q: constrain(cfg, data, unravel(q)))(
+                jnp.asarray(flat))
+            cons = {k: np.asarray(v) for k, v in cons.items()}
+            preds = np.asarray(jax.vmap(
+                lambda q: predict_target(cfg, data, constrain(cfg, data, unravel(q)))
+            )(jnp.asarray(flat)))
+            sts = np.asarray(jax.vmap(
+                lambda q: sigma_tot(cfg, data, constrain(cfg, data, unravel(q)),
+                                    predict_target(cfg, data,
+                                                   constrain(cfg, data, unravel(q))))
+            )(jnp.asarray(flat)))
+            self._sample_result = self._stan_style_result(cfg, names, cons,
+                                                          preds, sts)
+            div = np.asarray(info["diverging"])
+            self.sample_diagnostics = {
+                "divergence_rate": float(div.mean()),
+                "accept_prob": float(np.asarray(info["accept_prob"]).mean()),
+                "step_size": np.asarray(info["step_size"]),
+                "rhat_max": float(np.max(mcmc_diagnostics.rhat(draws_np))),
+                "ess_min": float(np.min(mcmc_diagnostics.ess(draws_np))),
+                "n_leapfrog": float(np.asarray(info["n_leapfrog"]).mean()),
+            }
+            if self.sample_diagnostics["divergence_rate"] > 0.1:
+                warnings.warn(
+                    f"{100 * self.sample_diagnostics['divergence_rate']:.1f}% "
+                    "of post-warmup draws diverged; posterior estimates may be "
+                    "biased. Consider increasing adapt_delta.")
+            self.fit_type = "bayes"
+        else:
+            raise ValueError(f"Invalid mode {mode!r}. Options are 'optimize', "
+                             "'sample'")
+
+        # extract coefficients & error structure (reference: inversion.py:1223-1281)
+        self.distribution_fits = {}
+        for i, nm in enumerate(names):
+            dist_type = self.distributions[nm]["dist_type"]
+            stan_key = self._get_stan_coef_name(nm)
+            self.distribution_fits[nm] = {
+                "coef": self._extract_parameter(stan_key, dist_type, mode)}
+        if not fitY:
+            self.R_inf = float(self._extract_parameter("Rinf", "series", mode))
+            self.inductance = float(self._extract_parameter("induc", "series", mode))
+        else:
+            self.R_inf = 0.0
+            self.inductance = 0.0
+
+        self.error_fit = {"sigma_min": self._rescale_coef(sigma_min, "series")}
+        for pkey in ("sigma_tot", "sigma_res"):
+            self.error_fit[pkey] = self._extract_parameter(pkey, "series", mode)
+        for pkey in ("alpha_prop", "alpha_re", "alpha_im"):
+            self.error_fit[pkey] = self._extract_parameter(pkey, None, mode)
+        if outliers:
+            self.error_fit["sigma_out"] = self._extract_parameter(
+                "sigma_out", "series", mode)
+
+        self.f_pred = None
+
+        if outliers is False and check_outliers:
+            outlier_idx = self.check_outliers(frequencies, Z, threshold=3.5,
+                                              use_existing_fit=True)
+            if len(outlier_idx) > 0:
+                warnings.warn(
+                    f"Possible outliers were identified at indices "
+                    f"{outlier_idx.ravel()}, f={frequencies[outlier_idx.ravel()]} "
+                    "Hz. Check the residuals and consider re-running with "
+                    "outliers=True")
+
+    def _stan_style_result(self, cfg, names, cons, pred, st):
+        """Package constrained draws/values under Stan-style keys
+        (x/xs/xp/xp1/xp2, Rinf, induc, error params, Z_hat, sigma_tot)."""
+        out = {}
+        n_series = sum(1 for nm in names
+                       if self.distributions[nm]["dist_type"] == "series")
+        n_par = len(names) - n_series
+        for i, nm in enumerate(names):
+            out[self._get_stan_coef_name(nm)] = cons[f"x_{i}"]
+        out["Rinf"] = cons["Rinf"]
+        out["induc"] = cons["induc"]
+        out["sigma_res"] = cons["sigma_res"]
+        out["alpha_prop"] = cons["alpha_prop"]
+        out["alpha_re"] = cons["alpha_re"]
+        out["alpha_im"] = cons["alpha_im"]
+        if "sigma_out" in cons:
+            out["sigma_out"] = cons["sigma_out"]
+        out["Z_hat"] = pred
+        out["sigma_tot"] = st
+        return out
+
+    def _get_stan_coef_name(self, distribution_name):
+        """(reference: inversion.py:2521-2545)"""
+        names = sort_distributions(self.distributions)
+        dist_type = self.distributions[distribution_name]["dist_type"]
+        n_series = sum(1 for nm in names
+                       if self.distributions[nm]["dist_type"] == "series")
+        n_par = len(names) - n_series
+        if len(names) == 1:
+            return "x"
+        if dist_type == "series":
+            return "xs"
+        if n_par == 1:
+            return "xp"
+        par_names = [nm for nm in names
+                     if self.distributions[nm]["dist_type"] == "parallel"]
+        return f"xp{par_names.index(distribution_name) + 1}"
+
+    def _extract_parameter(self, stan_key, dist_type, mode):
+        """(reference: inversion.py:2494-2519)"""
+        source = self._opt_result if mode == "optimize" else self._sample_result
+        val = source[stan_key]
+        if mode == "sample":
+            val = np.mean(val, axis=0)
+        if stan_key in ("alpha_prop", "alpha_re", "alpha_im"):
+            return val
+        return self._rescale_coef(val, dist_type)
+
+    def coef_percentile(self, distribution_name, percentile):
+        """(reference: inversion.py:2547-2566)"""
+        if self.fit_type != "bayes":
+            raise ValueError("Percentile prediction is only available for bayes_fit")
+        dist_type = self.distributions[distribution_name]["dist_type"]
+        coef_name = self._get_stan_coef_name(distribution_name)
+        coef = np.percentile(self._sample_result[coef_name], percentile, axis=0)
+        return self._rescale_coef(coef, dist_type)
+
+    def _get_init_from_ridge(self, frequencies, Z, nonneg, outliers,
+                             inductance_scale, ridge_kw):
+        """Underfitted integral-penalty ridge initialization
+        (reference: inversion.py:1616-1682)."""
+        dist_name = list(self.distributions.keys())[0]
+        dist_type = self.distributions[dist_name]["dist_type"]
+        defaults = dict(penalty="integral", hyper_lambda=True, lambda_0=1,
+                        hl_beta=5, weights="modulus")
+        defaults.update(ridge_kw)
+        self.ridge_fit(frequencies, Z, **defaults)
+
+        coef = self.distribution_fits[dist_name]["coef"]
+        if dist_type == "series":
+            x_star = coef / self._Z_scale
+        else:
+            x_star = coef * self._Z_scale
+        iv = {"x_0": x_star}
+        iv["Rinf_raw"] = max(self.R_inf / self._Z_scale, 1e-10) / 100.0
+        induc = self.inductance / self._Z_scale
+        if induc <= 0:
+            induc = 1e-10
+        iv["induc_raw"] = induc / inductance_scale
+        if outliers:
+            outlier_idx = self.check_outliers(frequencies, Z, threshold=3,
+                                              use_existing_fit=True)
+            sigma_out_raw = np.zeros(len(Z)) + 0.1
+            sigma_out_raw[outlier_idx.ravel()] = 1.0
+            iv["sigma_out_raw"] = sigma_out_raw
+        return iv
+
+    # ===================================================================
+    # Prediction (reference: inversion.py:2571-3376)
+    # ===================================================================
+
+    def _get_prediction_matrices(self, frequencies, distributions):
+        """A matrices at prediction frequencies, with caching
+        (reference: inversion.py:2571-2667)."""
+        frequencies = np.asarray(frequencies, float)
+        cached_f = self.f_pred if self.f_pred is not None else self.f_train
+        cached_src = (self.prediction_matrices if self.f_pred is not None
+                      else self.distribution_matrices)
+        pred_mat = {}
+        have_cache = all(
+            len(cached_src.get(nm, {})) > 0 and "A_re" in cached_src.get(nm, {})
+            for nm in distributions)
+        if have_cache and np.array_equal(rel_round(cached_f, 10),
+                                         rel_round(frequencies, 10)):
+            for nm in distributions:
+                pred_mat[nm] = {"A_re": cached_src[nm]["A_re"],
+                                "A_im": cached_src[nm]["A_im"]}
+            return pred_mat
+
+        rounded_cache = rel_round(cached_f, 10) if have_cache else np.array([])
+        idx = []
+        subset = have_cache
+        if have_cache:
+            for f in rel_round(frequencies, 10):
+                match = np.where(rounded_cache == f)[0]
+                if len(match) == 0:
+                    subset = False
+                    break
+                idx.append(match[0])
+        if subset:
+            idx = np.asarray(idx)
+            for nm in distributions:
+                pred_mat[nm] = {"A_re": cached_src[nm]["A_re"][idx],
+                                "A_im": cached_src[nm]["A_im"][idx]}
+            return pred_mat
+
+        for nm in distributions:
+            info = self.distributions[nm]
+            tau = info["tau"]
+            eps = info["epsilon"]
+            kw = dict(tau=tau, basis=self.basis, epsilon=eps,
+                      kernel=info["kernel"], dist_type=info["dist_type"],
+                      symmetry=info.get("symmetry", "planar"),
+                      bc=info.get("bc", "transmissive"),
+                      ct=info.get("ct", False), k_ct=info.get("k_ct", None))
+            pred_mat[nm] = {
+                "A_re": np.asarray(construct_A(frequencies, "real", **kw)),
+                "A_im": np.asarray(construct_A(frequencies, "imag", **kw))}
+        self.f_pred = frequencies
+        self.prediction_matrices = pred_mat
+        return pred_mat
+
+    def predict_Z(self, frequencies, distributions=None, include_offsets=True,
+                  percentile=None, times=None):
+        """(reference: inversion.py:2669-2961; drift paths not included)"""
+        frequencies = np.asarray(frequencies, float)
+        if distributions is None:
+            distributions = list(self.distribution_fits.keys())
+        elif isinstance(distributions, str):
+            distributions = [distributions]
+
+        if percentile is not None:
+            if self.fit_type != "bayes":
+                raise ValueError("Percentile prediction is only available for "
+                                 "bayes_fit results")
+            z_mat = self.predict_Z_distribution(frequencies,
+                                                distributions=distributions,
+                                                include_offsets=include_offsets)
+            return (np.percentile(z_mat.real, percentile, axis=0)
+                    + 1j * np.percentile(z_mat.imag, percentile, axis=0))
+
+        pred_mat = self._get_prediction_matrices(frequencies, distributions)
+        z_pred = np.zeros(len(frequencies), dtype=complex)
+        for nm in distributions:
+            mat = pred_mat[nm]
+            dist_type = self.distributions[nm]["dist_type"]
+            coef = self.distribution_fits[nm]["coef"]
+            if dist_type == "series":
+                z_pred += mat["A_re"] @ coef + 1j * (mat["A_im"] @ coef)
+            else:
+                y = mat["A_re"] @ coef + 1j * (mat["A_im"] @ coef)
+                z_pred += 1.0 / y
+        if include_offsets:
+            z_pred = z_pred + self.R_inf
+            z_pred = z_pred + 1j * 2 * np.pi * frequencies * self.inductance
+        return z_pred
+
+    def predict_Z_distribution(self, frequencies, distributions=None,
+                               include_offsets=True):
+        """Posterior impedance sample matrix (reference: inversion.py:2963-3031)."""
+        if self.fit_type != "bayes":
+            raise ValueError("predict_Z_distribution is only available for "
+                             "bayes_fit results")
+        frequencies = np.asarray(frequencies, float)
+        if distributions is None:
+            distributions = list(self.distribution_fits.keys())
+        elif isinstance(distributions, str):
+            distributions = [distributions]
+        if (len(distributions) != len(self.distributions)
+                or not include_offsets):
+            warnings.warn("All distributions and offsets should be included "
+                          "for meaningful results")
+
+        if (np.array_equal(rel_round(self.f_train, 10),
+                           rel_round(frequencies, 10))
+                and len(distributions) == len(self.distributions)
+                and include_offsets):
+            z_split = self._sample_result["Z_hat"] * self._Z_scale
+            n = len(frequencies)
+            return z_split[:, :n] + 1j * z_split[:, n:]
+
+        pred_mat = self._get_prediction_matrices(frequencies, distributions)
+        n_samples = len(self._sample_result["Rinf"])
+        z_mat = np.zeros((n_samples, len(frequencies)), dtype=complex)
+        for nm in distributions:
+            mat = pred_mat[nm]
+            dist_type = self.distributions[nm]["dist_type"]
+            coef_matrix = self._rescale_coef(
+                self._sample_result[self._get_stan_coef_name(nm)], dist_type)
+            zr = coef_matrix @ mat["A_re"].T
+            zi = coef_matrix @ mat["A_im"].T
+            if dist_type == "series":
+                z_mat += zr + 1j * zi
+            else:
+                z_mat += 1.0 / (zr + 1j * zi)
+        if include_offsets:
+            z_mat += self._rescale_coef(self._sample_result["Rinf"],
+                                        "series")[:, None]
+            z_mat += 1j * 2 * np.pi * frequencies * self._rescale_coef(
+                self._sample_result["induc"], "series")[:, None]
+        return z_mat
+
+    def predict_Rp(self, distributions=None, percentile=None, time=None):
+        """(reference: inversion.py:3033-3087)"""
+        if distributions is None:
+            distributions = list(self.distribution_fits.keys())
+        elif isinstance(distributions, str):
+            distributions = [distributions]
+
+        if len(distributions) > 1:
+            z_range = self.predict_Z(np.array([1e20, 1e-20]),
+                                     distributions=distributions,
+                                     percentile=percentile)
+            return float(np.real(z_range[1] - z_range[0]))
+
+        nm = distributions[0]
+        info = self.distributions[nm]
+        if info["kernel"] == "DRT" and "coef" in self.distribution_fits[nm]:
+            if percentile is None:
+                return float(np.sum(self.distribution_fits[nm]["coef"])
+                             * np.sqrt(np.pi) / info["epsilon"])
+            if self.fit_type != "bayes":
+                raise ValueError("Percentile prediction is only available for "
+                                 "bayes_fit results")
+            coef_matrix = self._rescale_coef(
+                self._sample_result[self._get_stan_coef_name(nm)], "series")
+            rp = np.sum(coef_matrix, axis=1) * np.sqrt(np.pi) / info["epsilon"]
+            return float(np.percentile(rp, percentile))
+        if percentile is None:
+            z_range = self.predict_Z(np.array([1e20, 1e-20]),
+                                     distributions=distributions)
+            return float(np.real(z_range[1] - z_range[0]))
+        z_mat = self.predict_Z_distribution(np.array([1e20, 1e-20]),
+                                            distributions=distributions)
+        rp = np.real(z_mat[:, 1] - z_mat[:, 0])
+        return float(np.percentile(rp, percentile))
+
+    def predict_sigma(self, frequencies, percentile=None, times=None):
+        """(reference: inversion.py:3089-3139)"""
+        if percentile is not None and self.fit_type != "bayes":
+            raise ValueError("Percentile prediction is only available for bayes_fit")
+        frequencies = np.asarray(frequencies, float)
+        n_train = len(self.f_train)
+        if np.array_equal(rel_round(self.f_train, 10),
+                          rel_round(frequencies, 10)):
+            if self.fit_type == "bayes" and percentile is not None:
+                st = np.percentile(self._sample_result["sigma_tot"], percentile,
+                                   axis=0) * self._Z_scale
+            elif self.fit_type in ("bayes",) or (self.fit_type or "").startswith("map"):
+                st = self.error_fit["sigma_tot"]
+            else:
+                raise ValueError("Error scale prediction only available for "
+                                 "bayes_fit and map_fit")
+            return st[:n_train].copy(), st[n_train:].copy()
+
+        if self.fit_type == "bayes" and percentile is not None:
+            sigma_res = np.percentile(self._sample_result["sigma_res"],
+                                      percentile) * self._Z_scale
+            alpha_prop = np.percentile(self._sample_result["alpha_prop"], percentile)
+            alpha_re = np.percentile(self._sample_result["alpha_re"], percentile)
+            alpha_im = np.percentile(self._sample_result["alpha_im"], percentile)
+            if "sigma_out" in self._sample_result:
+                sigma_out = np.percentile(self._sample_result["sigma_out"],
+                                          percentile, axis=0) * self._Z_scale
+            else:
+                sigma_out = np.zeros(2 * n_train)
+        elif self.fit_type in ("bayes",) or (self.fit_type or "").startswith("map"):
+            sigma_res = self.error_fit["sigma_res"]
+            alpha_prop = self.error_fit["alpha_prop"]
+            alpha_re = self.error_fit["alpha_re"]
+            alpha_im = self.error_fit["alpha_im"]
+            sigma_out = self.error_fit.get("sigma_out", np.zeros(2 * n_train))
+        else:
+            raise ValueError("Error scale prediction only available for "
+                             "bayes_fit and map_fit")
+        sigma_min = self.error_fit["sigma_min"]
+        z_pred = self.predict_Z(frequencies, percentile=percentile)
+        sigma_base = np.sqrt(sigma_res**2 + np.min(sigma_out)**2 + sigma_min**2)
+        sigma_re = np.sqrt(sigma_base**2 + (alpha_prop * z_pred.real)**2
+                           + (alpha_re * z_pred.real)**2
+                           + (alpha_im * z_pred.imag)**2)
+        sigma_im = np.sqrt(sigma_base**2 + (alpha_prop * z_pred.imag)**2
+                           + (alpha_re * z_pred.real)**2
+                           + (alpha_im * z_pred.imag)**2)
+        return sigma_re, sigma_im
+
+    def score(self, frequencies, Z, metric="chi_sq", weights=None, part="both",
+              times=None):
+        """(reference: inversion.py:3141-3160)"""
+        Z = np.asarray(Z)
+        w = self._format_weights(frequencies, Z, weights, part)
+        z_pred = self.predict_Z(frequencies)
+        if part == "both":
+            z_pred = np.concatenate([z_pred.real, z_pred.imag])
+            z_data = np.concatenate([Z.real, Z.imag])
+            w = np.concatenate([w.real, w.imag])
+        else:
+            z_pred = getattr(z_pred, part)
+            z_data = getattr(Z, part)
+            w = getattr(w, part)
+        if metric == "chi_sq":
+            return float(np.sum(((z_pred - z_data) * w) ** 2) / len(frequencies))
+        if metric == "r2":
+            return float(r2_score(z_data, z_pred, weights=w))
+        raise ValueError(f"Invalid metric {metric}. Options are 'chi_sq', 'r2'")
+
+    def predict_distribution(self, name=None, eval_tau=None, percentile=None,
+                             time=None):
+        """gamma(tau) evaluated on eval_tau (reference: inversion.py:3162-3311;
+        drift paths not included)."""
+        if name is None:
+            name = list(self.distributions.keys())[0]
+        if eval_tau is None:
+            eval_tau = self.distributions[name]["tau"]
+        eval_tau = np.asarray(eval_tau, float)
+        if percentile is not None:
+            coef = self.coef_percentile(name, percentile)
+        else:
+            coef = self.distribution_fits[name]["coef"]
+        eps = self.distributions[name]["epsilon"]
+        basis_tau = self.distributions[name]["tau"]
+        phi = get_basis_func(self.basis)
+        bases = np.asarray(phi(
+            jnp.log(eval_tau[:, None] / basis_tau[None, :]), eps))
+        return bases @ coef
+
+    def check_outliers(self, frequencies, Z, threshold=3.5,
+                       use_existing_fit=False, **ridge_kw):
+        """(reference: inversion.py:3313-3376)"""
+        frequencies = np.asarray(frequencies, float)
+        Z = np.asarray(Z)
+        fit_exists = (check_equality(rel_round(frequencies, 10),
+                                     rel_round(self.f_train, 10))
+                      and self.Z_train is not None
+                      and len(Z) == len(self.Z_train)
+                      and bool(self.distribution_fits))
+        if not (use_existing_fit and fit_exists):
+            self.ridge_fit(frequencies, Z, preset="Huang", **ridge_kw)
+
+        sort_idx = np.argsort(frequencies)[::-1]
+        frequencies = frequencies[sort_idx]
+        Z = Z[sort_idx]
+        z_err = self.predict_Z(frequencies) - Z
+        if self.fit_type == "ridge":
+            zmod = np.abs(Z)
+            re_thresh = get_outlier_thresh(np.abs(z_err.real / zmod),
+                                           iqr_factor=threshold)
+            im_thresh = get_outlier_thresh(np.abs(z_err.imag / zmod),
+                                           iqr_factor=threshold)
+            outlier_idx = np.argwhere(
+                (z_err.real / zmod) ** 2 + (z_err.imag / zmod) ** 2
+                >= re_thresh**2 + im_thresh**2)
+        else:
+            sigma_re, sigma_im = self.predict_sigma(frequencies)
+            zs_tot = np.sqrt(((z_err.real / sigma_re) ** 2
+                              + (z_err.imag / sigma_im) ** 2) / 2)
+            outlier_idx = np.argwhere(zs_tot > threshold)
+        return outlier_idx
