@@ -1119,3 +1119,241 @@ class Inverter:
                               + (z_err.imag / sigma_im) ** 2) / 2)
             outlier_idx = np.argwhere(zs_tot > threshold)
         return outlier_idx
+
+    # ===================================================================
+    # Peak fitting (reference: inversion.py:3381-3680)
+    # ===================================================================
+
+    def _peak_eval_tau(self, distribution):
+        basis_tau = self.distributions[distribution]["tau"]
+        tmin = np.log10(np.min(basis_tau)) - 1
+        tmax = np.log10(np.max(basis_tau)) + 1
+        return np.logspace(tmin, tmax, int(10 * (tmax - tmin) + 1))
+
+    def fit_peaks(self, distribution=None, eval_tau=None, percentile=None,
+                  time=None, check_shoulders=True, weights=None,
+                  prom_rthresh=0.001, R_rthresh=0.005, l1_penalty=0,
+                  l2_penalty=0.01, check_chi_sq=False, chi_sq_thresh=0.5,
+                  chi_sq_delta=0.3, fit_data=False, frequencies=None, Z=None,
+                  Z_weights=None, lambda_x=10):
+        """HN peak decomposition of a recovered distribution
+        (reference: inversion.py:3381-3484)."""
+        from . import peaks as pf
+        if distribution is None:
+            distribution = list(self.distributions.keys())[0]
+        if eval_tau is None:
+            eval_tau = self._peak_eval_tau(distribution)
+        F = self.predict_distribution(distribution, eval_tau, percentile, time)
+        nonneg = bool(np.min(F) >= 0)
+        rp = self.predict_Rp()
+        x = pf.fit_peaks(eval_tau, F, rp, weights=weights, nonneg=nonneg,
+                         check_shoulders=check_shoulders,
+                         prom_rthresh=prom_rthresh, R_rthresh=R_rthresh,
+                         check_chi_sq=check_chi_sq, chi_sq_thresh=chi_sq_thresh,
+                         chi_sq_delta=chi_sq_delta, l1_penalty=l1_penalty,
+                         l2_penalty=l2_penalty)
+        if fit_data:
+            if frequencies is None or Z is None:
+                raise ValueError("frequencies and Z must be provided if "
+                                 "fit_data==True")
+            result = pf.fit_data(x, frequencies, Z, R_inf=self.R_inf,
+                                 inductance=self.inductance, weights=Z_weights,
+                                 lambda_x=lambda_x)
+            x = result["x"]
+        # sort by time constant
+        x = np.asarray(x)
+        if len(x):
+            order = np.argsort(np.exp(x[1::4]))
+            x = x.reshape(-1, 4)[order].ravel()
+        self.distribution_fits[distribution]["peak_params"] = x
+        self.distribution_fits[distribution]["peak_chi_sq"] = self.score_peak_fit(
+            eval_tau=eval_tau, distribution=distribution, weights=weights,
+            percentile=percentile, time=time)
+
+    def fit_peaks_constrained(self, tau0_guess, distribution=None,
+                              eval_tau=None, percentile=None, time=None,
+                              sigma_lntau=5, lntau_uncertainty=3, weights=None,
+                              l2_penalty=0.01):
+        """(reference: inversion.py:3486-3551)"""
+        from . import peaks as pf
+        if distribution is None:
+            distribution = list(self.distributions.keys())[0]
+        if eval_tau is None:
+            eval_tau = self._peak_eval_tau(distribution)
+        F = self.predict_distribution(distribution, eval_tau, percentile, time)
+        nonneg = bool(np.min(F) >= 0)
+        rp = self.predict_Rp()
+        result = pf.constrained_peak_fit(eval_tau, F, tau0_guess, rp, nonneg,
+                                         lntau_uncertainty, sigma_lntau,
+                                         weights, l2_penalty)
+        self.distribution_fits[distribution]["peak_params"] = result["x"]
+        self.distribution_fits[distribution]["peak_chi_sq"] = self.score_peak_fit(
+            eval_tau=eval_tau, distribution=distribution, weights=weights,
+            percentile=percentile, time=time)
+
+    def predict_peak_distribution(self, eval_tau=None, distribution=None,
+                                  peak_index=None):
+        """(reference: inversion.py:3553-3589)"""
+        from . import peaks as pf
+        if distribution is None:
+            distribution = list(self.distributions.keys())[0]
+        if eval_tau is None:
+            eval_tau = self._peak_eval_tau(distribution)
+        params = self.distribution_fits[distribution]["peak_params"]
+        if peak_index is not None:
+            params = params[4 * peak_index:4 * peak_index + 4]
+        return np.asarray(pf.evaluate_fit_distribution(params, eval_tau))
+
+    def predict_peak_Z(self, frequencies, distribution=None):
+        """(reference: inversion.py:3591-3610)"""
+        from . import peaks as pf
+        if distribution is None:
+            distribution = list(self.distributions.keys())[0]
+        return np.asarray(pf.evaluate_fit_impedance(
+            self.distribution_fits[distribution]["peak_params"], frequencies,
+            self.R_inf, self.inductance))
+
+    def extract_peak_info(self, distribution=None, sort=True):
+        """(reference: inversion.py:3612-3657)"""
+        if distribution is None:
+            distribution = list(self.distributions.keys())[0]
+        params = np.asarray(self.distribution_fits[distribution]["peak_params"])
+        R = params[::4]
+        t0 = np.exp(params[1::4])
+        alpha = params[2::4]
+        beta = params[3::4]
+        if sort:
+            order = np.argsort(t0)
+            R, t0, alpha, beta = R[order], t0[order], alpha[order], beta[order]
+        return {"num_peaks": len(params) // 4,
+                "chi_sq": self.distribution_fits[distribution]["peak_chi_sq"],
+                "R": R, "tau_0": t0, "alpha": alpha, "beta": beta}
+
+    def score_peak_fit(self, eval_tau=None, distribution=None, weights=None,
+                       percentile=None, time=None):
+        """(reference: inversion.py:3659-3680)"""
+        from . import peaks as pf
+        if distribution is None:
+            distribution = list(self.distributions.keys())[0]
+        if eval_tau is None:
+            eval_tau = self.distributions[distribution]["tau"]
+        F = self.predict_distribution(distribution, eval_tau, percentile, time)
+        F_fit = np.asarray(pf.evaluate_fit_distribution(
+            self.distribution_fits[distribution]["peak_params"], eval_tau))
+        if weights is None:
+            weights = 1.0 / (F + np.percentile(F, 80))
+        return float(np.sum(((F_fit - F) * weights) ** 2))
+
+    # ===================================================================
+    # Persistence (reference: inversion.py:3980-4064)
+    # ===================================================================
+
+    def get_fit_attributes(self, which="all"):
+        fit_attributes = {
+            "common": {
+                "core": ["_distributions", "distribution_fits", "f_train",
+                         "Z_train", "_Z_scale", "fit_type", "R_inf",
+                         "inductance"],
+                "detail": ["distribution_matrices"],
+            },
+            "ridge": {"core": [], "detail": ["_iter_history"]},
+            "map": {"core": ["stan_model_name", "error_fit"],
+                    "detail": ["_init_params", "_opt_result"]},
+            "bayes": {"core": ["stan_model_name", "_sample_result",
+                               "error_fit", "sample_diagnostics"],
+                      "detail": ["_init_params"]},
+        }
+        if which == "all":
+            return (sum(fit_attributes["common"].values(), [])
+                    + sum(fit_attributes[self.fit_type].values(), []))
+        return (fit_attributes["common"][which]
+                + fit_attributes[self.fit_type][which])
+
+    def save_fit_data(self, filename=None, which="all"):
+        """Save fit state to a pickle (or return as dict if filename=None)."""
+        import pickle
+        fit_data = {att: getattr(self, att)
+                    for att in self.get_fit_attributes(which)}
+        if filename is None:
+            return fit_data
+        with open(filename, "wb") as f:
+            pickle.dump(fit_data, f)
+
+    def load_fit_data(self, data):
+        """Restore fit state from a pickle path or dict."""
+        import pickle
+        if isinstance(data, str):
+            with open(data, "rb") as f:
+                fit_data = pickle.load(f)
+        else:
+            fit_data = data
+        f_pred_old = deepcopy(self.f_pred)
+        for k, v in fit_data.items():
+            setattr(self, k, v)
+        self._cached_distributions = deepcopy(self._distributions)
+        if "distribution_matrices" not in fit_data:
+            self.f_pred = f_pred_old
+            self._recalc_mat = True
+
+    # ===================================================================
+    # Plotting wrappers (reference: inversion.py:3685-3975)
+    # ===================================================================
+
+    def _train_df(self):
+        from .io.file_load import construct_eis_df
+        return construct_eis_df(self.f_train, self.Z_train)
+
+    def plot_distribution(self, ax=None, distribution=None, tau_plot=None,
+                          plot_bounds=True, plot_ci=True, **kw):
+        from .viz.plotting import plot_distribution as _plot
+        return _plot(self._train_df(), self, ax=ax, distribution=distribution,
+                     tau_plot=tau_plot, plot_bounds=plot_bounds,
+                     plot_ci=plot_ci, **kw)
+
+    def plot_fit(self, axes=None, plot_type="all", bode_cols=None,
+                 plot_data=True, color="k", **kw):
+        from .viz.plotting import plot_fit as _plot
+        return _plot(self._train_df(), self, axes=axes, plot_type=plot_type,
+                     bode_cols=bode_cols, plot_data=plot_data, color=color,
+                     **kw)
+
+    def plot_residuals(self, axes=None, unit_scale="auto", plot_ci=True, **kw):
+        from .viz.plotting import plot_residuals as _plot
+        return _plot(self._train_df(), self, axes=axes, unit_scale=unit_scale,
+                     plot_ci=plot_ci, **kw)
+
+    def plot_full_results(self, axes=None, bode_cols=None, plot_data=True,
+                          color="k", **kw):
+        from .viz.plotting import plot_full_results as _plot
+        return _plot(self._train_df(), self, axes=axes, bode_cols=bode_cols,
+                     plot_data=plot_data, color=color, **kw)
+
+    def plot_peak_fit(self, ax=None, distribution=None, tau_plot=None,
+                      plot_individual_peaks=True, **kw):
+        """Recovered distribution with the HN peak decomposition overlaid
+        (reference: inversion.py:3866-3975)."""
+        import matplotlib.pyplot as plt
+        if distribution is None:
+            distribution = list(self.distributions.keys())[0]
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4.5, 3.2))
+        if tau_plot is None:
+            basis_tau = self.distributions[distribution]["tau"]
+            tau_plot = np.logspace(np.log10(basis_tau.min()),
+                                   np.log10(basis_tau.max()), 200)
+        gamma = self.predict_distribution(distribution, eval_tau=tau_plot)
+        ax.plot(tau_plot, gamma, label="distribution", **kw)
+        g_fit = self.predict_peak_distribution(eval_tau=tau_plot,
+                                               distribution=distribution)
+        ax.plot(tau_plot, g_fit, ls="--", label="peak fit")
+        if plot_individual_peaks:
+            params = self.distribution_fits[distribution]["peak_params"]
+            for i in range(len(params) // 4):
+                g_i = self.predict_peak_distribution(
+                    eval_tau=tau_plot, distribution=distribution, peak_index=i)
+                ax.plot(tau_plot, g_i, ls=":", lw=1)
+        ax.set_xscale("log")
+        ax.set_xlabel(r"$\tau$ / s")
+        ax.set_ylabel(r"$\gamma$ / $\Omega$")
+        ax.legend()
+        return ax

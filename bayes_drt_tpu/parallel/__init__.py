@@ -1,0 +1,4 @@
+from .batch import BatchFitResult, evaluate_gamma, fit_spectra_batch
+from .mesh import make_mesh
+
+__all__ = ["BatchFitResult", "evaluate_gamma", "fit_spectra_batch", "make_mesh"]

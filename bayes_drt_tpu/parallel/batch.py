@@ -1,0 +1,204 @@
+"""Massively batched inversion over spectra and chains.
+
+The reference processes spectra in a serial Python loop with one Stan
+subprocess per chain (reference: inversion.py:1218, code_EchemActa/
+"Run fits.ipynb" batch loops). Here the whole batch is ONE XLA program:
+
+    vmap over spectra  x  vmap over chains  x  NUTS/L-BFGS
+
+and, on a multi-chip TPU slice, the spectra/chain axes are sharded over a
+jax.sharding.Mesh so each chip samples its shard independently — no
+inter-chip communication inside a fit (spectra are independent); collectives
+appear only if results are gathered.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.matrices import construct_A, construct_L, default_epsilon, get_tau_basis
+from ..models.build import build_posterior
+from ..models.posterior import constrain, init_unconstrained, log_density
+from ..infer.nuts import NUTSConfig, sample_nuts
+from ..infer.map import run_lbfgs
+
+
+class BatchFitResult(NamedTuple):
+    """Results for a batch of spectra."""
+    coef: np.ndarray          # (B, K) posterior-mean (sample) or MAP coefficients, rescaled
+    r_inf: np.ndarray         # (B,)
+    inductance: np.ndarray    # (B,)
+    gamma_lo: Optional[np.ndarray]   # (B, K) 2.5th percentile coefs (sample mode)
+    gamma_hi: Optional[np.ndarray]   # (B, K) 97.5th percentile coefs
+    z_scales: np.ndarray      # (B,)
+    tau: np.ndarray           # (K,)
+    epsilon: float
+    diagnostics: dict
+
+
+def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
+                  nonneg=False, dtype=jnp.float32):
+    """Shared per-batch setup: matrices at the common frequency grid."""
+    frequencies = np.sort(np.asarray(frequencies, float))[::-1]
+    if basis_freq is None:
+        tau = get_tau_basis(frequencies)
+    else:
+        tau = 1.0 / (2 * np.pi * np.asarray(basis_freq, float))
+    eps = default_epsilon(tau) if epsilon is None else float(epsilon)
+    f_coll = 1.0 / (2 * np.pi * tau)
+    build_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    # matrix construction is a one-time setup step; run it on the host CPU
+    # backend so the (slow, tunneled) TPU compiler is reserved for the
+    # sampling program itself
+    try:
+        build_device = jax.devices("cpu")[0]
+    except RuntimeError:
+        build_device = None
+    import contextlib
+    ctx = (jax.default_device(build_device) if build_device is not None
+           else contextlib.nullcontext())
+    with ctx:
+        mats = {
+            "A_re": np.asarray(construct_A(frequencies, "real", tau=tau, epsilon=eps,
+                                           dtype=build_dtype)),
+            "A_im": np.asarray(construct_A(frequencies, "imag", tau=tau, epsilon=eps,
+                                           dtype=build_dtype)),
+            "L0": np.asarray(construct_L(f_coll, tau=tau, epsilon=eps, order=0,
+                                         dtype=build_dtype)),
+            "L1": np.asarray(construct_L(f_coll, tau=tau, epsilon=eps, order=1,
+                                         dtype=build_dtype)),
+            "L2": np.asarray(construct_L(f_coll, tau=tau, epsilon=eps, order=2,
+                                         dtype=build_dtype)),
+        }
+    dists = {"DRT": {"kernel": "DRT", "dist_type": "series"}}
+    # dummy target; replaced per spectrum through vmap
+    z_dummy = np.ones(len(frequencies)) + 0j
+    cfg, data = build_posterior(dists, {"DRT": mats}, frequencies, z_dummy,
+                                mode=mode, nonneg=nonneg, dtype=dtype)
+    return frequencies, tau, eps, cfg, data
+
+
+def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
+                      basis_freq=None, epsilon=None, nonneg: bool = False,
+                      chains: int = 4, warmup: int = 500, samples: int = 500,
+                      max_iter: int = 2000, n_restarts: int = 2,
+                      random_seed: int = 0, mesh: Optional[Mesh] = None,
+                      max_tree_depth: int = 10, dtype=jnp.float32) -> BatchFitResult:
+    """Fit B spectra sharing one frequency grid in a single XLA program.
+
+    Z_batch: complex array (B, N). mode='sample' runs ``chains`` NUTS chains
+    per spectrum; mode='optimize' runs ``n_restarts`` L-BFGS restarts per
+    spectrum. With ``mesh`` (axes named 'spectra' [, 'chains']), the batch is
+    sharded across devices.
+    """
+    Z_batch = np.asarray(Z_batch)
+    b, n = Z_batch.shape
+    frequencies, tau, eps, cfg, data = _build_shared(
+        frequencies, basis_freq, epsilon, mode="sample" if mode == "sample" else "optimize",
+        nonneg=nonneg, dtype=dtype)
+
+    # per-spectrum scaling (reference: inversion.py:2437-2441)
+    z_scales = np.std(np.abs(Z_batch), axis=1) / np.sqrt(n / 81)
+    Zs = Z_batch / z_scales[:, None]
+    targets = jnp.asarray(np.concatenate([Zs.real, Zs.imag], axis=1), dtype=dtype)
+
+    template = init_unconstrained(cfg, data, jax.random.PRNGKey(0))
+    template = jax.tree.map(lambda a: a.astype(dtype), template)
+    _, unravel = ravel_pytree(template)
+    key = jax.random.PRNGKey(random_seed)
+    spectrum_keys = jax.random.split(key, b)
+
+    def logp_for(target):
+        d = data._replace(target=target)
+        return lambda q: log_density(cfg, d, unravel(q), jacobian=(mode == "sample"))
+
+    if mode == "sample":
+        nuts_cfg = NUTSConfig(max_depth=max_tree_depth)
+
+        def fit_one(target, skey):
+            logp = logp_for(target)
+
+            def one_chain(ckey):
+                k_init, k_run = jax.random.split(ckey)
+                p0 = init_unconstrained(cfg, data._replace(target=target), k_init)
+                q0, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
+                return sample_nuts(logp, q0, k_run, warmup=warmup,
+                                   samples=samples, cfg=nuts_cfg)
+
+            draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains))
+            flat = draws.reshape(-1, draws.shape[-1])
+            xs = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["x_0"])(flat)
+            rinf = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["Rinf"])(flat)
+            induc = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["induc"])(flat)
+            return {
+                "coef": xs.mean(axis=0),
+                "coef_lo": jnp.percentile(xs, 2.5, axis=0),
+                "coef_hi": jnp.percentile(xs, 97.5, axis=0),
+                "r_inf": rinf.mean(),
+                "induc": induc.mean(),
+                "divergence_rate": info["diverging"].mean(),
+                "accept_prob": info["accept_prob"].mean(),
+                "n_leapfrog": info["n_leapfrog"].astype(jnp.float32).mean(),
+            }
+    else:
+        def fit_one(target, skey):
+            logp = logp_for(target)
+            loss = lambda q: -logp(q)
+
+            def one_restart(rkey):
+                p0 = init_unconstrained(cfg, data._replace(target=target), rkey)
+                q0, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
+                return run_lbfgs(loss, q0, max_iter=max_iter)
+
+            res = jax.vmap(one_restart)(jax.random.split(skey, n_restarts))
+            best = jnp.argmin(jnp.where(jnp.isfinite(res.value), res.value, jnp.inf))
+            q_best = res.params[best]
+            c = constrain(cfg, data, unravel(q_best))
+            return {
+                "coef": c["x_0"],
+                "coef_lo": c["x_0"],
+                "coef_hi": c["x_0"],
+                "r_inf": c["Rinf"],
+                "induc": c["induc"],
+                "value": res.value[best],
+                "n_iter": res.n_iter[best].astype(jnp.float32),
+            }
+
+    batched = jax.jit(jax.vmap(fit_one))
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("spectra"))
+        targets = jax.device_put(targets, NamedSharding(mesh, P("spectra", None)))
+        spectrum_keys = jax.device_put(spectrum_keys,
+                                       NamedSharding(mesh, P("spectra", None)))
+        batched = jax.jit(jax.vmap(fit_one), out_shardings=spec)
+
+    out = batched(targets, spectrum_keys)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    scale = z_scales[:, None]
+    diagnostics = {k: out[k] for k in out
+                   if k not in ("coef", "coef_lo", "coef_hi", "r_inf", "induc")}
+    return BatchFitResult(
+        coef=out["coef"] * scale,
+        r_inf=out["r_inf"] * z_scales,
+        inductance=out["induc"] * z_scales,
+        gamma_lo=out["coef_lo"] * scale if mode == "sample" else None,
+        gamma_hi=out["coef_hi"] * scale if mode == "sample" else None,
+        z_scales=z_scales, tau=tau, epsilon=eps, diagnostics=diagnostics)
+
+
+def evaluate_gamma(result: BatchFitResult, eval_tau, which: str = "coef"):
+    """gamma(tau) curves for every spectrum in a batch result."""
+    eval_tau = np.asarray(eval_tau, float)
+    coefs = {"coef": result.coef, "lo": result.gamma_lo,
+             "hi": result.gamma_hi}[which]
+    bases = np.exp(-((result.epsilon
+                      * np.log(eval_tau[:, None] / result.tau[None, :])) ** 2))
+    return coefs @ bases.T
