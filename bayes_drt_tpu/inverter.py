@@ -336,9 +336,22 @@ class Inverter:
                   hyper_weights=False, hw_beta=2, hw_wbar=1,
                   xtol=1e-3, max_iter=20,
                   hyper_a=False, alpha_a=2, hl_beta_a=2, hyper_b=False, sb=1,
+                  correct_phase_offset=False, IERange=None, lambda_phz=1,
+                  init_phase_offset=False,
                   x0=None, dZ=False, dZ_power=0.5):
         """Ridge / hierarchical-ridge fit of a single distribution
         (reference: inversion.py:142-900)."""
+        if correct_phase_offset:
+            if IERange is None:
+                raise ValueError("IERange must be provided if "
+                                 "correct_phase_offset==True")
+            return self._ridge_fit_phase_offset(
+                frequencies, Z, IERange, lambda_phz, init_phase_offset,
+                part=part, penalty=penalty, reg_ord=reg_ord,
+                L1_penalty=L1_penalty, scale_Z=scale_Z, nonneg=nonneg,
+                weights=weights, preset=preset, hyper_lambda=hyper_lambda,
+                hl_beta=hl_beta, hl_fbeta=hl_fbeta, lambda_0=lambda_0,
+                xtol=xtol, max_iter=max_iter, x0=x0)
         if preset is not None:
             if preset == "Ciucci":
                 penalty, lambda_0, hl_fbeta = "discrete", "cv", 0.1
@@ -546,6 +559,91 @@ class Inverter:
         self.f_pred = None
         self.fit_type = "ridge"
 
+    def _ridge_fit_phase_offset(self, frequencies, Z, IERange, lambda_phz,
+                                init_phase_offset, max_iter=20, xtol=1e-3,
+                                **ridge_kw):
+        """Hyper-lambda ridge with hardware phase-offset correction
+        (reference: inversion.py:307-341, 564-629).
+
+        Alternates between (a) a ridge fit of the phase-adjusted data and
+        (b) L1-regularized optimization of per-current-range phase offsets
+        against the fitted phase. The reference interleaves the offset update
+        inside its lambda iteration; alternating full passes converges to the
+        same fixed point.
+        """
+        from scipy.optimize import minimize
+
+        frequencies = np.asarray(frequencies, float)
+        Z = np.asarray(Z)
+        IERange = np.asarray(IERange)
+        if len(IERange) != len(frequencies):
+            raise ValueError("IERange must have same length as frequencies")
+
+        # steps in the current range, processed low -> high frequency
+        step_indices = np.where(np.diff(IERange[::-1]) != 0)[0] + 1
+        step_indices = np.append(step_indices, len(frequencies))
+        zphz_exp = np.angle(Z, deg=True)
+        zmod = np.abs(Z)
+
+        phase_offsets = np.zeros(len(step_indices))
+        offset_vec = np.zeros(len(Z))
+
+        if init_phase_offset:
+            zphz_adj = zphz_exp.copy()[::-1]
+            for i, idx in enumerate(step_indices[:-1]):
+                zdiff = np.diff(zphz_adj)
+                interp = (zdiff[idx - 2] + zdiff[idx]) / 2
+                target = zphz_adj[idx - 1] + interp
+                phase_offsets[i] = target - zphz_adj[idx]
+                offset_vec[::-1][idx:step_indices[i + 1]] += phase_offsets[i]
+                zphz_adj[idx:step_indices[i + 1]] += phase_offsets[i]
+            zphz_cur = zphz_adj[::-1]
+        else:
+            zphz_cur = zphz_exp.copy()
+
+        def apply_phase(zphz):
+            return zmod * np.cos(np.radians(zphz)) + 1j * zmod * np.sin(np.radians(zphz))
+
+        z_adj = apply_phase(zphz_cur)
+        prev_offsets = phase_offsets.copy()
+        for it in range(max_iter):
+            self.ridge_fit(frequencies, z_adj, max_iter=max_iter,
+                           xtol=xtol, **ridge_kw)
+            z_pred = self.predict_Z(frequencies)
+            # frequencies were sorted descending inside ridge_fit; align
+            order = np.argsort(frequencies)[::-1]
+            zphz_pred = np.empty(len(frequencies))
+            zphz_pred[order] = np.angle(z_pred, deg=True)
+            zphz_var = max(np.var(zphz_cur - zphz_pred), 1e-12)
+
+            def cost(offsets):
+                zadj = zphz_exp.copy()[::-1]
+                for i, idx in enumerate(step_indices[:-1]):
+                    zadj[idx:step_indices[i + 1]] += offsets[i]
+                c = 0.5 * np.sum((zadj - zphz_pred[::-1]) ** 2) / zphz_var
+                return c + lambda_phz * np.sum(np.abs(offsets))
+
+            result = minimize(cost, x0=phase_offsets)
+            phase_offsets = result["x"]
+            zphz_new = zphz_exp.copy()[::-1]
+            offset_vec = np.zeros(len(Z))
+            for i, idx in enumerate(step_indices[:-1]):
+                zphz_new[idx:step_indices[i + 1]] += phase_offsets[i]
+                offset_vec[idx:step_indices[i + 1]] = phase_offsets[i]
+            zphz_cur = zphz_new[::-1]
+            offset_vec = offset_vec[::-1]
+            z_adj = apply_phase(zphz_cur)
+            if np.max(np.abs(phase_offsets - prev_offsets)) < xtol:
+                break
+            prev_offsets = phase_offsets.copy()
+
+        # final fit on the converged adjusted data
+        self.ridge_fit(frequencies, z_adj, max_iter=max_iter, xtol=xtol,
+                       **ridge_kw)
+        self.phase_offsets = phase_offsets
+        self.phase_offset_vec = offset_vec
+        self.Z_adjusted = z_adj
+
     def ridge_ReImCV(self, frequencies, Z, lambdas=np.logspace(-10, 5, 31), **kw):
         """Re-Im cross-validation for lambda_0 (reference: inversion.py:902-945)."""
         import pandas as pd
@@ -741,6 +839,303 @@ class Inverter:
                     "Hz. Check the residuals and consider re-running with "
                     "outliers=True")
 
+    def drift_map_fit(self, frequencies, Z, times, drift_model="x1",
+                      part="both", scale_Z=True, nonneg=False,
+                      sigma_min=0.002, max_iter=4000, random_seed=1234,
+                      inductance_scale=1.0, n_restarts=2,
+                      min_tau_drift=200.0, max_tau_drift=10000.0):
+        """MAP fit of a time-evolving spectrum (reference:
+        inversion.py:1291-1564; drift models x1/x2/dx/dx-lin/RQ/RQ-lin/
+        RQ-from-final/RQ-lin-from-final implemented from the documented math
+        since the reference ships no compiled drift models).
+
+        times: measurement time of each frequency point (same length as
+        frequencies, seconds).
+        """
+        from .models.drift import (DRIFT_MODELS, DriftConfig, DriftData,
+                                   constrain_drift, drift_log_density,
+                                   init_drift_params, predict_drift_target)
+        if drift_model not in DRIFT_MODELS:
+            raise ValueError(f"Invalid drift_model {drift_model!r}. Options "
+                             f"are {DRIFT_MODELS}")
+        if len(self.distributions) > 1:
+            raise ValueError("drift_map_fit supports a single distribution")
+        times = np.asarray(times, float)
+        if len(times) != len(frequencies):
+            raise ValueError("times must have same length as frequencies")
+
+        # keep measurement order aligned with times (reference passes
+        # sort_desc=False for drift fits, inversion.py:1350)
+        frequencies = np.asarray(frequencies, float)
+        Z = np.asarray(Z)
+        self.f_train = frequencies
+        self.Z_train = Z
+        if scale_Z:
+            Z_scaled = self._scale_Z(Z, "map")
+        else:
+            self._Z_scale = 1.0
+            Z_scaled = Z
+
+        dist_name = list(self.distributions.keys())[0]
+        info = self.distributions[dist_name]
+        tau, eps = self._dist_tau_epsilon(dist_name, frequencies)
+        self.distributions[dist_name]["tau"] = tau
+        self.distributions[dist_name]["epsilon"] = eps
+        kw = dict(tau=tau, basis=self.basis, epsilon=eps, kernel=info["kernel"],
+                  dist_type=info["dist_type"],
+                  symmetry=info.get("symmetry", "planar"),
+                  bc=info.get("bc", "transmissive"), ct=info.get("ct", False),
+                  k_ct=info.get("k_ct", None))
+        A_re = np.asarray(construct_A(frequencies, "real", **kw))
+        A_im = np.asarray(construct_A(frequencies, "imag", **kw))
+        self.distribution_matrices[dist_name].update(A_re=A_re, A_im=A_im)
+        f_coll = 1.0 / (2 * np.pi * tau)
+        L = np.stack([1.5 * s * np.asarray(construct_L(f_coll, tau=tau,
+                                                       basis=self.basis,
+                                                       epsilon=eps, order=o))
+                      for o, s in ((0, 0.24), (1, 0.16), (2, 0.08))])
+
+        target = (Z_scaled if info["dist_type"] == "series" else Z_scaled)
+        cfg = DriftConfig(drift_model=drift_model, dist_type=info["dist_type"],
+                          nonneg=nonneg, K=len(tau))
+        data = DriftData(
+            A_re=jnp.asarray(A_re), A_im=jnp.asarray(A_im), L=jnp.asarray(L),
+            Z=jnp.asarray(np.concatenate([target.real, target.imag])),
+            freq=jnp.asarray(frequencies), times=jnp.asarray(times),
+            sigma_min=jnp.asarray(sigma_min),
+            ups_alpha=jnp.asarray(0.05), ups_beta=jnp.asarray(0.1),
+            induc_scale=jnp.asarray(inductance_scale),
+            tau_bounds=jnp.asarray([min_tau_drift, max_tau_drift]),
+            tau2_bounds=jnp.asarray([max(min_tau_drift, 500.0), max_tau_drift]),
+            rq_tau_bounds=jnp.asarray([tau.min(), tau.max()]),
+            k_bounds=jnp.asarray([1e-4, 1.0]),
+            t_max=jnp.asarray(times.max()), t_min=jnp.asarray(times.min()))
+
+        # ridge-initialize the static coefficient vectors (the reference's
+        # recommended drift workflow, inversion.py:1411-1432): a quick static
+        # hyper-lambda ridge on the whole spectrum anchors x0/x1/Rinf
+        ridge_init = {}
+        try:
+            saved_state = (self.distribution_fits, self.fit_type, self._Z_scale)
+            self.ridge_fit(frequencies, Z, penalty="integral",
+                           hyper_lambda=True, lambda_0=1, hl_beta=5,
+                           weights="modulus")
+            x_r = self.distribution_fits[dist_name]["coef"] / saved_state[2]
+            rinf_r = max(self.R_inf / saved_state[2], 1e-6)
+            induc_r = max(self.inductance / saved_state[2], 1e-10)
+            pos_x = nonneg or info["dist_type"] == "parallel"
+            u_x = (np.log(np.clip(x_r, 1e-10, None)) if pos_x
+                   else np.asarray(x_r))
+            ridge_init = {"Rinf0_raw": np.log(rinf_r / 100.0),
+                          "induc_raw": np.log(induc_r), "dRinf_raw": 0.0}
+            for nm_v in ("x0", "x1"):
+                ridge_init[nm_v] = u_x
+            ridge_init["dx"] = np.full_like(x_r, 1e-3)
+            ridge_init["x2"] = np.full_like(x_r, 1e-3)
+            self.distribution_fits, self.fit_type, self._Z_scale = saved_state
+            self._Z_scale = saved_state[2] if saved_state[2] != 1.0 else self._Z_scale
+        except Exception as exc:  # pragma: no cover - init is best-effort
+            warnings.warn(f"Ridge initialization for drift fit failed: {exc}")
+        # restore state overwritten by the internal ridge fit (it sorts
+        # frequencies and replaces the cached matrices)
+        if scale_Z:
+            Z_scaled = self._scale_Z(Z, "map")
+        self.f_train = frequencies
+        self.Z_train = Z
+        self.distribution_matrices[dist_name].update(A_re=A_re, A_im=A_im)
+        self.f_pred = None
+
+        loss = lambda p: -drift_log_density(cfg, data, p, jacobian=False)
+
+        key0 = jax.random.PRNGKey(random_seed)
+        p_ridge = init_drift_params(cfg, data, key0, init_values=ridge_init)
+        res_ridge = run_lbfgs(loss, p_ridge, max_iter=max_iter)
+        init_fn = lambda k: init_drift_params(cfg, data, k)
+        res_rand = run_lbfgs_restarts(loss, init_fn, key0, n_restarts,
+                                      max_iter=max_iter)
+        if float(res_ridge.value) <= float(res_rand.value):
+            res = res_ridge
+        else:
+            res = res_rand
+        c = jax.tree.map(np.asarray, constrain_drift(cfg, data, res.params))
+        self._drift_result = c
+        self._drift_cfg = cfg
+        self.stan_model_name = f"Series_drift-{drift_model}" \
+            if info["dist_type"] == "series" else f"Parallel_drift-{drift_model}"
+
+        dist_type = info["dist_type"]
+        fits = {}
+        if drift_model in ("x1", "x2"):
+            fits["x0"] = self._rescale_coef(c["x0"], dist_type)
+            fits["x1"] = self._rescale_coef(c["x1"], dist_type)
+            fits["tau_x1"] = float(c["tau_1"])
+            if drift_model == "x2":
+                fits["x2"] = self._rescale_coef(c["x2"], dist_type)
+                fits["tau_x2"] = float(c["tau_2"])
+        elif drift_model in ("dx", "dx-lin"):
+            fits["x0"] = self._rescale_coef(c["x0"], dist_type)
+            fits["dx"] = self._rescale_coef(c["dx"], dist_type)
+            if drift_model == "dx":
+                fits["tau_dx"] = float(c["tau_1"])
+            else:
+                fits["m_Ft"] = 1.0 / times.max()
+        else:
+            key = "x1" if drift_model.endswith("from-final") else "x0"
+            fits[key] = self._rescale_coef(c[key], dist_type)
+            fits["R_rq"] = float(self._rescale_coef(c["R_rq"], dist_type))
+            fits["tau_rq"] = float(c["tau_rq"])
+            fits["phi_rq"] = float(c["phi_rq"])
+            if drift_model in ("RQ", "RQ-from-final"):
+                fits["k_d"] = float(c["k_d"])
+            elif drift_model == "RQ-lin":
+                fits["m_Ft"] = 1.0 / times.max()
+            else:
+                fits["t_i"] = float(times.min())
+                fits["t_f"] = float(times.max())
+        # alias: 'coef' = static coefficient vector so predict_distribution
+        # and peak fitting work on the time-zero (or final) distribution
+        fits["coef"] = fits.get("x0", fits.get("x1"))
+        self.distribution_fits = {dist_name: fits}
+
+        self.drift_offsets = {
+            "Rinf_0": float(self._rescale_coef(c["Rinf_0"], "series")),
+            "delta_Rinf": float(self._rescale_coef(c["delta_Rinf"], "series")),
+        }
+        if drift_model in ("x1", "x2", "dx"):
+            self.drift_offsets["tau_Rinf"] = float(c["tau_Rinf"])
+        if drift_model.endswith("from-final"):
+            self.drift_offsets["Rinf_1"] = self.drift_offsets.pop("Rinf_0")
+        self.R_inf = self.drift_offsets.get("Rinf_0",
+                                            self.drift_offsets.get("Rinf_1"))
+        self.inductance = float(self._rescale_coef(c["induc"], "series"))
+        pred = np.asarray(predict_drift_target(cfg, data, jax.tree.map(
+            jnp.asarray, c)))
+        n = len(frequencies)
+        st = np.sqrt(sigma_min**2 + c["sigma_res"]**2
+                     + (c["alpha_prop"] * pred)**2
+                     + (c["alpha_re"] * np.tile(pred[:n], 2))**2
+                     + (c["alpha_im"] * np.tile(pred[n:], 2))**2)
+        self.error_fit = {
+            "sigma_min": self._rescale_coef(sigma_min, "series"),
+            "sigma_res": float(self._rescale_coef(c["sigma_res"], "series")),
+            "sigma_tot": self._rescale_coef(st, "series"),
+            "alpha_prop": float(c["alpha_prop"]),
+            "alpha_re": float(c["alpha_re"]),
+            "alpha_im": float(c["alpha_im"]),
+        }
+        self.fit_type = "map-drift"
+        self.f_pred = None
+
+    def predict_Z_drift(self, frequencies, times, distributions=None,
+                        include_offsets=True):
+        """Impedance prediction for a drift fit at given per-point times
+        (reference: inversion.py:2746-2940)."""
+        if self.fit_type != "map-drift":
+            raise ValueError("predict_Z_drift requires a drift_map_fit result")
+        frequencies = np.asarray(frequencies, float)
+        times = np.asarray(times, float)
+        if len(times) != len(frequencies):
+            raise ValueError("times must have same length as frequencies")
+        name = list(self.distributions.keys())[0]
+        dist_type = self.distributions[name]["dist_type"]
+        model = self.stan_model_name.split("drift-")[1]
+        fits = self.distribution_fits[name]
+        pred_mat = self._get_prediction_matrices(frequencies, [name])[name]
+        A_re, A_im = pred_mat["A_re"], pred_mat["A_im"]
+        omega = 2 * np.pi * frequencies
+
+        if model in ("x1", "x2", "dx", "dx-lin"):
+            if model in ("x1", "x2"):
+                decay = 1 - np.exp(-times / fits["tau_x1"])
+                X = fits["x0"][None, :] + (fits["x1"] - fits["x0"])[None, :] * decay[:, None]
+                if model == "x2":
+                    decay2 = 1 - np.exp(-times / fits["tau_x2"])
+                    X = X + fits["x2"][None, :] * decay2[:, None]
+            elif model == "dx":
+                decay = 1 - np.exp(-times / fits["tau_dx"])
+                X = fits["x0"][None, :] + fits["dx"][None, :] * decay[:, None]
+            else:
+                f_t = times * fits["m_Ft"]
+                X = fits["x0"][None, :] + fits["dx"][None, :] * f_t[:, None]
+            zr = np.sum(A_re * X, axis=1)
+            zi = np.sum(A_im * X, axis=1)
+            if dist_type == "parallel":
+                y = zr + 1j * zi
+                z = 1.0 / y
+            else:
+                z = zr + 1j * zi
+            if model == "dx-lin":
+                f_t = times * fits["m_Ft"]
+                rinf = self.drift_offsets["Rinf_0"] + self.drift_offsets["delta_Rinf"] * f_t
+            else:
+                rinf = (self.drift_offsets["Rinf_0"]
+                        + self.drift_offsets["delta_Rinf"]
+                        * (1 - np.exp(-times / self.drift_offsets["tau_Rinf"])))
+        else:
+            x_static = fits.get("x0", fits.get("x1"))
+            zr = A_re @ x_static
+            zi = A_im @ x_static
+            z = (1.0 / (zr + 1j * zi)) if dist_type == "parallel" else zr + 1j * zi
+            if model == "RQ":
+                f_t = 1 - np.exp(-fits["k_d"] * times)
+            elif model == "RQ-lin":
+                f_t = times * fits["m_Ft"]
+            elif model == "RQ-from-final":
+                f_t = -np.exp(-fits["k_d"] * times)
+            else:
+                f_t = (times - fits["t_f"]) / (fits["t_f"] - fits["t_i"])
+            z = z + f_t * (fits["R_rq"]
+                           / (1 + (1j * omega * fits["tau_rq"]) ** fits["phi_rq"]))
+            rinf_base = self.drift_offsets.get("Rinf_0",
+                                               self.drift_offsets.get("Rinf_1"))
+            rinf = rinf_base + self.drift_offsets["delta_Rinf"] * f_t
+        if include_offsets:
+            z = z + rinf + 1j * omega * self.inductance
+        return z
+
+    def predict_distribution_drift(self, time, name=None, eval_tau=None):
+        """gamma(tau, t) for a drift fit (reference: inversion.py:3173-3296)."""
+        if self.fit_type != "map-drift":
+            raise ValueError("requires a drift_map_fit result")
+        if name is None:
+            name = list(self.distributions.keys())[0]
+        if eval_tau is None:
+            eval_tau = self.distributions[name]["tau"]
+        eval_tau = np.asarray(eval_tau, float)
+        eps = self.distributions[name]["epsilon"]
+        basis_tau = self.distributions[name]["tau"]
+        phi = get_basis_func(self.basis)
+        bases = np.asarray(phi(jnp.log(eval_tau[:, None] / basis_tau[None, :]),
+                               eps))
+        model = self.stan_model_name.split("drift-")[1]
+        fits = self.distribution_fits[name]
+        if model in ("x1", "x2"):
+            decay = 1 - np.exp(-time / fits["tau_x1"])
+            x = fits["x0"] + (fits["x1"] - fits["x0"]) * decay
+            if model == "x2":
+                x = x + fits["x2"] * (1 - np.exp(-time / fits["tau_x2"]))
+            return bases @ x
+        if model in ("dx", "dx-lin"):
+            f_t = (1 - np.exp(-time / fits["tau_dx"]) if model == "dx"
+                   else time * fits["m_Ft"])
+            return bases @ (fits["x0"] + fits["dx"] * f_t)
+        # RQ family: static distribution + time-dependent ZARC DRT
+        x_static = fits.get("x0", fits.get("x1"))
+        F0 = bases @ x_static
+        if model == "RQ":
+            f_t = 1 - np.exp(-fits["k_d"] * time)
+        elif model == "RQ-lin":
+            f_t = time * fits["m_Ft"]
+        elif model == "RQ-from-final":
+            f_t = -np.exp(-fits["k_d"] * time)
+        else:
+            f_t = (time - fits["t_f"]) / (fits["t_f"] - fits["t_i"])
+        phi_rq = fits["phi_rq"]
+        f_rq = ((1 / (2 * np.pi)) * np.sin((1 - phi_rq) * np.pi)
+                / (np.cosh(phi_rq * np.log(eval_tau / fits["tau_rq"]))
+                   - np.cos((1 - phi_rq) * np.pi)))
+        return F0 + f_t * fits["R_rq"] * f_rq
+
     def _stan_style_result(self, cfg, names, cons, pred, st):
         """Package constrained draws/values under Stan-style keys
         (x/xs/xp/xp1/xp2, Rinf, induc, error params, Z_hat, sigma_tot)."""
@@ -763,7 +1158,11 @@ class Inverter:
         return out
 
     def _get_stan_coef_name(self, distribution_name):
-        """(reference: inversion.py:2521-2545)"""
+        """Stan-result key for a distribution's coefficients
+        (reference: inversion.py:2521-2545). The reference's mapping only
+        covers the named model families; for the MultiDist generalization
+        (which the reference's extraction cannot handle) each distribution
+        gets a unique positional key."""
         names = sort_distributions(self.distributions)
         dist_type = self.distributions[distribution_name]["dist_type"]
         n_series = sum(1 for nm in names
@@ -771,13 +1170,15 @@ class Inverter:
         n_par = len(names) - n_series
         if len(names) == 1:
             return "x"
-        if dist_type == "series":
-            return "xs"
-        if n_par == 1:
-            return "xp"
-        par_names = [nm for nm in names
-                     if self.distributions[nm]["dist_type"] == "parallel"]
-        return f"xp{par_names.index(distribution_name) + 1}"
+        if n_series == 1 and n_par in (1, 2):
+            if dist_type == "series":
+                return "xs"
+            if n_par == 1:
+                return "xp"
+            par_names = [nm for nm in names
+                         if self.distributions[nm]["dist_type"] == "parallel"]
+            return f"xp{par_names.index(distribution_name) + 1}"
+        return f"x_{names.index(distribution_name)}"
 
     def _extract_parameter(self, stan_key, dist_type, mode):
         """(reference: inversion.py:2494-2519)"""

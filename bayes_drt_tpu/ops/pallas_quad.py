@@ -1,0 +1,107 @@
+"""Pallas TPU kernel for the DRT A-matrix quadrature.
+
+The XLA path (ops/matrices.py) materializes the (N, K, Q) integrand tensor in
+HBM before contracting. This kernel tiles (N, K) into VMEM blocks and
+accumulates the trapezoid sum over quadrature-point chunks in VMEM, so the
+full integrand never touches HBM.
+
+Layout: 3D grid (N/8, K/128, Q/128); the innermost grid axis revisits the
+same output tile, accumulating one 128-point quadrature chunk per step
+(out_specs ignore the q axis -> sequential accumulation, the standard Pallas
+reduction pattern). Stable kernel forms match ops/kernels.py. Falls back to
+interpret mode off-TPU (used by the CPU test suite).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+_TILE_N = 8
+_TILE_K = 128
+_TILE_Q = 128
+
+
+def _drt_kernel_body(part: str, s_ref, phiw_ref, y_ref, out_ref):
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    s = s_ref[:, :]                      # (TN, TK)
+    y = y_ref[0, :]                      # (TQ,)
+    pw = phiw_ref[0, :]                  # (TQ,)
+    u = y[None, None, :] + s[:, :, None]  # (TN, TK, TQ)
+    if part == "real":
+        val = 1.0 / (1.0 + jnp.exp(2.0 * jnp.clip(u, -40.0, 40.0)))
+    else:
+        a = jnp.abs(u)
+        e = jnp.exp(-a)
+        val = -0.5 * (2.0 * e / (1.0 + e * e))
+    out_ref[:, :] += jnp.sum(val * pw[None, None, :], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("part", "interpret"))
+def _pallas_drt_A(s_full, phiw, y, part: str, interpret: bool):
+    n, k = s_full.shape
+    q = y.shape[1]
+    grid = (n // _TILE_N, k // _TILE_K, q // _TILE_Q)
+    kernel = functools.partial(_drt_kernel_body, part)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE_N, _TILE_K), lambda i, j, qq: (i, j)),
+            pl.BlockSpec((1, _TILE_Q), lambda i, j, qq: (0, qq)),
+            pl.BlockSpec((1, _TILE_Q), lambda i, j, qq: (0, qq)),
+        ],
+        out_specs=pl.BlockSpec((_TILE_N, _TILE_K), lambda i, j, qq: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((n, k), s_full.dtype),
+        interpret=interpret,
+    )(s_full, phiw, y)
+
+
+def construct_A_drt_pallas(frequencies, part, tau=None, epsilon=1.0,
+                           n_quad: int = 1024, y_max: float = 20.0,
+                           dtype=jnp.float32, interpret=None):
+    """DRT A matrix via the Pallas quadrature kernel.
+
+    Matches ops.matrices.construct_A(kernel='DRT') to quadrature tolerance
+    (n_quad defaults to 1024 = 8 x 128-point chunks; the reference's 1000-pt
+    rule agrees to ~1e-9 because the integrand decays to zero well inside
+    [-y_max, y_max]). Gaussian basis only. ``interpret=None`` auto-selects
+    interpret mode when not running on TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    frequencies = jnp.asarray(frequencies, dtype=dtype)
+    omega = 2.0 * jnp.pi * frequencies
+    if tau is None:
+        tau = 1.0 / omega
+    else:
+        tau = jnp.asarray(tau, dtype=dtype)
+    n, k = omega.shape[0], tau.shape[0]
+    n_pad = -n % _TILE_N
+    k_pad = -k % _TILE_K
+    q_pad = -n_quad % _TILE_Q
+    omega_p = jnp.pad(omega, (0, n_pad), constant_values=1.0)
+    tau_p = jnp.pad(tau, (0, k_pad), constant_values=1.0)
+    s_full = jnp.log(omega_p[:, None] * tau_p[None, :])
+
+    y = jnp.linspace(-y_max, y_max, n_quad, dtype=dtype)
+    h = 2.0 * y_max / (n_quad - 1)
+    w = jnp.full((n_quad,), h, dtype=dtype).at[0].set(h / 2).at[-1].set(h / 2)
+    phiw = jnp.exp(-((epsilon * y) ** 2)) * w
+    # zero-weight padding points contribute nothing to the sum
+    y = jnp.pad(y, (0, q_pad))
+    phiw = jnp.pad(phiw, (0, q_pad))
+
+    out = _pallas_drt_A(s_full, phiw.reshape(1, -1), y.reshape(1, -1), part,
+                        bool(interpret))
+    return out[:n, :k]

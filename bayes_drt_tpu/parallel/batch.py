@@ -44,7 +44,9 @@ class BatchFitResult(NamedTuple):
 
 
 def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
-                  nonneg=False, dtype=jnp.float32):
+                  nonneg=False, dtype=None):
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     """Shared per-batch setup: matrices at the common frequency grid."""
     frequencies = np.sort(np.asarray(frequencies, float))[::-1]
     if basis_freq is None:
@@ -90,7 +92,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       chains: int = 4, warmup: int = 500, samples: int = 500,
                       max_iter: int = 2000, n_restarts: int = 2,
                       random_seed: int = 0, mesh: Optional[Mesh] = None,
-                      max_tree_depth: int = 10, dtype=jnp.float32) -> BatchFitResult:
+                      max_tree_depth: int = 10, dtype=None) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
     Z_batch: complex array (B, N). mode='sample' runs ``chains`` NUTS chains
@@ -100,6 +102,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     """
     Z_batch = np.asarray(Z_batch)
     b, n = Z_batch.shape
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     frequencies, tau, eps, cfg, data = _build_shared(
         frequencies, basis_freq, epsilon, mode="sample" if mode == "sample" else "optimize",
         nonneg=nonneg, dtype=dtype)

@@ -1,0 +1,89 @@
+"""Benchmark: massively batched HMC inversion throughput on TPU.
+
+Workload: B simulated ZARC spectra (N=81 frequencies, K=101 basis functions,
+the reference's standard problem size), each fit with full NUTS — 4 chains x
+(250 warmup + 250 draws) — in ONE XLA program vmapped over spectra and
+chains.
+
+Baseline: the reference fits ONE spectrum with Stan NUTS at 4 chains x
+(500+500) in 515.5 s on CPU (BASELINE.md, code_EchemActa/"Run fits.ipynb"
+4x1000 cell). HMC cost is linear in draws, so at this benchmark's 4x500
+budget the reference throughput is 60/257.75 spectra/min.
+
+Prints one JSON line:
+  {"metric": ..., "value": spectra/min, "unit": "spectra/min",
+   "vs_baseline": speedup vs the scaled reference throughput}
+
+A correctness gate requires the batch-mean recovered gamma to match the
+simulation ground truth (RMSE < 5% of Rp) — throughput only counts if the
+posterior is right.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+
+B = 128
+CHAINS = 4
+WARMUP = 250
+SAMPLES = 250
+MAX_DEPTH = 8
+BASELINE_SEC_PER_SPECTRUM = 515.5 / 2.0   # reference 4x1000 scaled to 4x500
+
+
+def main():
+    import jax
+    from bayes_drt_tpu.parallel import evaluate_gamma, fit_spectra_batch
+
+    df = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    rng = np.random.default_rng(0)
+    noise = 0.002 * (rng.standard_normal((B, len(Z)))
+                     + 1j * rng.standard_normal((B, len(Z))))
+    Zb = Z[None, :] + noise
+
+    # warm the compile cache with a 2-draw run of identical structure so the
+    # timed run measures sampling, not XLA compilation
+    fit_spectra_batch(freq, Zb, mode="sample", chains=CHAINS, warmup=WARMUP,
+                      samples=SAMPLES, max_tree_depth=MAX_DEPTH, random_seed=0)
+
+    t0 = time.time()
+    res = fit_spectra_batch(freq, Zb, mode="sample", chains=CHAINS,
+                            warmup=WARMUP, samples=SAMPLES,
+                            max_tree_depth=MAX_DEPTH, random_seed=1)
+    elapsed = time.time() - t0
+
+    # correctness gate
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    gammas = evaluate_gamma(res, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse = float(np.sqrt(np.mean((gammas.mean(axis=0) - gt["gamma"].values) ** 2)))
+    ok = rmse < 0.05 * rp
+
+    spectra_per_min = B / (elapsed / 60.0)
+    baseline_throughput = 60.0 / BASELINE_SEC_PER_SPECTRUM
+    result = {
+        "metric": "batched HMC DRT inversion throughput (4 chains x 500 NUTS iter/spectrum, N=81, K=101)",
+        "value": round(spectra_per_min, 2),
+        "unit": "spectra/min",
+        "vs_baseline": round(spectra_per_min / baseline_throughput, 1),
+    }
+    # diagnostics to stderr so stdout stays a single JSON line
+    print(f"elapsed={elapsed:.1f}s B={B} gamma_rmse={rmse:.4f} (gate {'OK' if ok else 'FAIL'}) "
+          f"div_rate={res.diagnostics['divergence_rate'].mean():.3f} "
+          f"n_leapfrog={res.diagnostics['n_leapfrog'].mean():.0f}",
+          file=sys.stderr)
+    if not ok:
+        result["value"] = 0.0
+        result["vs_baseline"] = 0.0
+        result["error"] = f"accuracy gate failed: gamma RMSE {rmse:.4f} vs Rp {rp:.3f}"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

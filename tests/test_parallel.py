@@ -1,0 +1,62 @@
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from bayes_drt_tpu.parallel import (evaluate_gamma, fit_spectra_batch,
+                                    make_mesh)
+
+
+def load_batch(b=4, noise=0.002, seed=0):
+    df = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    rng = np.random.default_rng(seed)
+    Zb = Z[None, :] + noise * (rng.standard_normal((b, len(Z)))
+                               + 1j * rng.standard_normal((b, len(Z))))
+    return freq, Zb
+
+
+def test_batched_map_recovers_all_spectra():
+    freq, Zb = load_batch(b=4)
+    res = fit_spectra_batch(freq, Zb, mode="optimize", max_iter=1500,
+                            n_restarts=3, random_seed=0)
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g = evaluate_gamma(res, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse = np.sqrt(np.mean((g - gt["gamma"].values[None, :]) ** 2, axis=1))
+    assert (rmse < 0.08 * rp).all(), rmse
+    assert np.abs(res.r_inf - 1.0).max() < 0.1, res.r_inf
+
+
+def test_batched_map_sharded_mesh_matches_unsharded():
+    freq, Zb = load_batch(b=8)
+    mesh = make_mesh(8)
+    res_m = fit_spectra_batch(freq, Zb, mode="optimize", max_iter=800,
+                              n_restarts=2, random_seed=0, mesh=mesh)
+    res_u = fit_spectra_batch(freq, Zb, mode="optimize", max_iter=800,
+                              n_restarts=2, random_seed=0)
+    np.testing.assert_allclose(res_m.coef, res_u.coef, rtol=1e-4, atol=1e-6)
+
+
+def test_batched_nuts_small_budget():
+    freq, Zb = load_batch(b=2)
+    res = fit_spectra_batch(freq, Zb, mode="sample", chains=2, warmup=40,
+                            samples=40, max_tree_depth=6, random_seed=0)
+    assert res.coef.shape[0] == 2
+    assert np.isfinite(res.coef).all()
+    assert (res.gamma_hi >= res.gamma_lo - 1e-12).all()
+
+
+def test_graft_entry_points():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    v, grad = jax.jit(fn)(*args)
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(grad)).all()
+    g.dryrun_multichip(len(jax.devices()))
