@@ -23,11 +23,13 @@ import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.matrices import construct_A, construct_L, default_epsilon, get_tau_basis
+from ..ops.matrices import (construct_A, construct_L, construct_M,
+                            default_epsilon, get_tau_basis)
 from ..models.build import build_posterior
 from ..models.posterior import constrain, init_unconstrained, log_density
 from ..infer.nuts import NUTSConfig, sample_nuts
 from ..infer.map import run_lbfgs
+from ..infer.ridge import HyperLambdaConfig, RidgeData, run_hyper_lambda
 
 
 class BatchFitResult(NamedTuple):
@@ -196,6 +198,113 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         gamma_lo=out["coef_lo"] * scale if mode == "sample" else None,
         gamma_hi=out["coef_hi"] * scale if mode == "sample" else None,
         z_scales=z_scales, tau=tau, epsilon=eps, diagnostics=diagnostics)
+
+
+def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
+                            epsilon=None, penalty: str = "integral",
+                            hl_beta: float = 2.5, lambda_0: float = 1e-2,
+                            reg_ord=2, nonneg: bool = True,
+                            weights: str = "modulus", max_iter: int = 20,
+                            xtol: float = 1e-3, mesh: Optional[Mesh] = None,
+                            dtype=None) -> BatchFitResult:
+    """Batched hyper-lambda ridge DRT fits: B spectra in one vmapped XLA
+    program (~milliseconds per spectrum vs the reference's ~0.1 s serial
+    cvxopt solves). Shares one frequency/basis grid across the batch."""
+    Z_batch = np.asarray(Z_batch)
+    b, n = Z_batch.shape
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    frequencies = np.sort(np.asarray(frequencies, float))[::-1]
+    if basis_freq is None:
+        tau = get_tau_basis(frequencies)
+    else:
+        tau = 1.0 / (2 * np.pi * np.asarray(basis_freq, float))
+    eps = default_epsilon(tau) if epsilon is None else float(epsilon)
+    f_coll = 1.0 / (2 * np.pi * tau)
+    kb = len(tau)
+    k = kb + 2
+
+    try:
+        build_device = jax.devices("cpu")[0]
+    except RuntimeError:
+        build_device = None
+    import contextlib
+    ctx = (jax.default_device(build_device) if build_device is not None
+           else contextlib.nullcontext())
+    with ctx:
+        A_re = np.zeros((n, k))
+        A_re[:, 0] = 1.0
+        A_re[:, 2:] = np.asarray(construct_A(frequencies, "real", tau=tau,
+                                             epsilon=eps, dtype=dtype))
+        A_im = np.zeros((n, k))
+        A_im[:, 1] = 2 * np.pi * frequencies * 1e-4
+        A_im[:, 2:] = np.asarray(construct_A(frequencies, "imag", tau=tau,
+                                             epsilon=eps, dtype=dtype))
+        L2_base, L_ops = [], []
+        for order in (0, 1, 2):
+            if penalty == "integral":
+                M = np.zeros((k, k))
+                M[2:, 2:] = np.asarray(construct_M(f_coll, order=order,
+                                                   epsilon=eps, dtype=dtype))
+                L2_base.append(M)
+                L_ops.append(np.zeros((kb, k)))
+            else:
+                L = np.concatenate(
+                    [np.zeros((kb, 2)),
+                     np.asarray(construct_L(f_coll, tau=tau, epsilon=eps,
+                                            order=order, dtype=dtype))], axis=1)
+                L_ops.append(L)
+                L2_base.append(L.T @ L)
+
+    if isinstance(reg_ord, (int, np.integer)):
+        frac = np.zeros(3)
+        frac[reg_ord] = 1.0
+    else:
+        frac = np.asarray(reg_ord, float)
+
+    z_scales = np.std(np.abs(Z_batch), axis=1) / np.sqrt(n / 81)
+    Zs = Z_batch / z_scales[:, None]
+    if weights == "modulus":
+        w = 1.0 / np.abs(Zs)
+    else:
+        w = np.ones_like(Zs, dtype=float)
+
+    lb = np.zeros(k) if nonneg else np.concatenate([np.zeros(2),
+                                                    np.full(kb, -10.0)])
+    ub = np.full(k, np.inf)
+    cfg = HyperLambdaConfig(part="both", penalty=penalty, n_fixed=2,
+                            max_iter=max_iter)
+
+    A_re_j = jnp.asarray(A_re, dtype)
+    A_im_j = jnp.asarray(A_im, dtype)
+    shared = dict(L2_base=jnp.asarray(np.array(L2_base), dtype),
+                  L_ops=jnp.asarray(np.array(L_ops), dtype),
+                  L1_vec=jnp.zeros(k, dtype), reg_frac=jnp.asarray(frac, dtype),
+                  lb=jnp.asarray(lb, dtype), ub=jnp.asarray(ub, dtype))
+
+    def fit_one(t_re, t_im, w_row):
+        data = RidgeData(WA_re=w_row[:, None] * A_re_j,
+                         WA_im=w_row[:, None] * A_im_j,
+                         WT_re=w_row * t_re, WT_im=w_row * t_im, **shared)
+        res = run_hyper_lambda(cfg, data, jnp.full(k, 1e-6, dtype),
+                               jnp.full(3, hl_beta, dtype), lambda_0,
+                               xtol=xtol)
+        return res.coef, res.n_iter, res.converged
+
+    t_re = jnp.asarray(Zs.real, dtype)
+    t_im = jnp.asarray(Zs.imag, dtype)
+    w_j = jnp.asarray(w, dtype)
+    batched = jax.jit(jax.vmap(fit_one))
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("spectra", None))
+        t_re, t_im, w_j = (jax.device_put(a, sh) for a in (t_re, t_im, w_j))
+    coefs, n_iter, converged = jax.tree.map(np.asarray, batched(t_re, t_im, w_j))
+
+    coefs = coefs * z_scales[:, None]
+    return BatchFitResult(
+        coef=coefs[:, 2:], r_inf=coefs[:, 0], inductance=coefs[:, 1] * 1e-4,
+        gamma_lo=None, gamma_hi=None, z_scales=z_scales, tau=tau, epsilon=eps,
+        diagnostics={"n_iter": n_iter, "converged": converged})
 
 
 def evaluate_gamma(result: BatchFitResult, eval_tau, which: str = "coef"):

@@ -60,3 +60,21 @@ def test_graft_entry_points():
     assert np.isfinite(float(v))
     assert np.isfinite(np.asarray(grad)).all()
     g.dryrun_multichip(len(jax.devices()))
+
+
+def test_batched_ridge():
+    freq, Zb = load_batch(b=6)
+    from bayes_drt_tpu.parallel import ridge_fit_spectra_batch
+    res = ridge_fit_spectra_batch(freq, Zb)
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g = evaluate_gamma(res, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse = np.sqrt(np.mean((g - gt["gamma"].values[None, :]) ** 2, axis=1))
+    assert (rmse < 0.06 * rp).all(), rmse
+    assert np.abs(res.r_inf - 1.0).max() < 0.1
+    # matches the single-spectrum Inverter ridge fit
+    from bayes_drt_tpu import Inverter
+    inv = Inverter()
+    inv.ridge_fit(freq, Zb[0], preset="Huang")
+    g_single = inv.predict_distribution("DRT", eval_tau=gt["tau"].values)
+    np.testing.assert_allclose(g[0], g_single, atol=0.02 * rp)
