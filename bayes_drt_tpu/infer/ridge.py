@@ -96,6 +96,30 @@ def hyper_lambda_integral(M, coef, lam_vec, hl_beta, lambda_0):
     return lam
 
 
+def hyper_lambda_lm(L, coef, prev_lam, hl_beta, lambda_0, n_iter: int = 40):
+    """Levenberg-Marquardt-style lambda solution: per-coordinate minimization
+    of (a*lam - c*ln(lam))^2 with a = (Lx)^2 + (beta-1)/lambda_0 and
+    c = beta - 1, started from the previous lambda (reference:
+    inversion.py:650-670 — scipy least_squares with diagonal Jacobian).
+    Damped Newton in u = ln(lam); coordinates are independent so the solve
+    vectorizes exactly."""
+    Lx2 = (L @ coef) ** 2
+    zeta = (hl_beta - 1.0) / lambda_0
+    a = Lx2 + zeta
+    c = hl_beta - 1.0
+
+    def body(_, u):
+        g = a * jnp.exp(u) - c * u          # residual f(e^u)
+        dg = a * jnp.exp(u) - c             # df/du
+        hess = dg * dg + g * a * jnp.exp(u)
+        step = g * dg / (jnp.abs(hess) + 1e-12)
+        return u - jnp.clip(step, -2.0, 2.0)
+
+    u0 = jnp.log(jnp.clip(prev_lam, 1e-15, None))
+    u = jax.lax.fori_loop(0, n_iter, body, u0)
+    return jnp.exp(u)
+
+
 def hyper_b_update(lam_vec, a, sb, n_basis):
     """MAP update of the gamma-prior rate b with b ~ N(0, sb)
     (reference: inversion.py:985-990)."""
@@ -147,6 +171,7 @@ class HyperLambdaConfig(NamedTuple):
     part: str = "both"
     penalty: str = "discrete"       # 'discrete' | 'integral' ('cholesky' uses 'discrete' updates)
     use_fbeta: bool = False
+    use_lm: bool = False            # LM lambda solution (hl_solution='lm')
     n_fixed: int = 0                # leading coords excluded from lambda updates (series: 2)
     max_iter: int = 20
     use_dZ: bool = False
@@ -191,6 +216,11 @@ def _lambda_step(cfg: HyperLambdaConfig, data: RidgeData, state: HyperLambdaStat
             return jnp.clip(lv, 1e-15, None)
         if cfg.use_fbeta:
             lv = hyper_lambda_fbeta(data.L_ops[n], coef_eff, hl_fbeta, lambda_0_scalar)
+        elif cfg.use_lm:
+            lv = hyper_lambda_lm(data.L_ops[n], coef_eff,
+                                 lam_prev[cfg.n_fixed:],
+                                 hyper_beta[n, cfg.n_fixed:],
+                                 lambda_0_scalar)
         else:
             lv = hyper_lambda_discrete(data.L_ops[n], coef_eff,
                                        hyper_beta[n, cfg.n_fixed:],

@@ -379,9 +379,6 @@ class Inverter:
             raise ValueError("ridge_fit cannot be used to fit multiple distributions")
         if hl_solution not in ("analytic", "lm"):
             raise ValueError(f"Invalid hl_solution {hl_solution!r}")
-        if hl_solution == "lm":
-            warnings.warn("hl_solution='lm' is not implemented in the TPU "
-                          "engine; using the analytic lambda solution")
 
         if isinstance(lambda_0, str) and lambda_0 == "cv":
             lambda_0 = self.ridge_ReImCV(
@@ -483,8 +480,9 @@ class Inverter:
         if hyper_lambda:
             cfg = HyperLambdaConfig(
                 part=part, penalty="integral" if penalty == "integral" else "discrete",
-                use_fbeta=hl_fbeta is not None, n_fixed=n_fixed,
-                max_iter=max_iter, use_dZ=bool(dZ),
+                use_fbeta=hl_fbeta is not None,
+                use_lm=(hl_solution == "lm" and penalty != "integral"),
+                n_fixed=n_fixed, max_iter=max_iter, use_dZ=bool(dZ),
                 use_hyper_a=hyper_a, use_hyper_b=hyper_b)
             B = None
             dZ_scale = 1.0

@@ -143,6 +143,16 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             xs = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["x_0"])(flat)
             rinf = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["Rinf"])(flat)
             induc = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["induc"])(flat)
+            # split-Rhat of the per-chain log density: a cheap scalar
+            # convergence check per spectrum
+            lp = info["logp"]                             # (chains, samples)
+            half = lp.shape[1] // 2
+            lp_split = jnp.concatenate([lp[:, :half], lp[:, half:2 * half]])
+            cm = lp_split.mean(axis=1)
+            w_var = lp_split.var(axis=1, ddof=1).mean()
+            b_var = half * cm.var(ddof=1)
+            var_plus = (half - 1) / half * w_var + b_var / half
+            lp_rhat = jnp.sqrt(var_plus / jnp.maximum(w_var, 1e-12))
             return {
                 "coef": xs.mean(axis=0),
                 "coef_lo": jnp.percentile(xs, 2.5, axis=0),
@@ -152,6 +162,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 "divergence_rate": info["diverging"].mean(),
                 "accept_prob": info["accept_prob"].mean(),
                 "n_leapfrog": info["n_leapfrog"].astype(jnp.float32).mean(),
+                "logp_rhat": lp_rhat,
             }
     else:
         def fit_one(target, skey):

@@ -160,3 +160,24 @@ def test_hyper_weights_downweights_outliers():
     # the corrupted points should get the smallest weights
     order = np.argsort(w)
     assert {20, 45} & set(order[:4]), f"outliers not downweighted: {order[:6]}"
+
+
+def test_hyper_lambda_lm_solution():
+    """hl_solution='lm' converges and produces a reasonable recovery
+    (reference: inversion.py:650-670)."""
+    freq, Z = load_spectrum()
+    p = build_series_problem(freq, Z, penalty="discrete")
+    data = to_ridge_data(p)
+    k = p["WA_re"].shape[1]
+    cfg = HyperLambdaConfig(part="both", penalty="discrete", use_lm=True,
+                            n_fixed=2, max_iter=20)
+    res = run_hyper_lambda(cfg, data, np.full(k, 1e-6), np.full(3, 2.5), 1e-2)
+    coef = np.asarray(res.coef) * p["z_scale"]
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    Phi = np.exp(-((p["eps"] * np.log(gt["tau"].values[:, None]
+                                      / p["tau"][None, :])) ** 2))
+    gamma = Phi @ coef[2:]
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse = np.sqrt(np.mean((gamma - gt["gamma"].values) ** 2))
+    assert rmse < 0.08 * rp, rmse
+    assert np.isfinite(np.asarray(res.lam_vectors)).all()
