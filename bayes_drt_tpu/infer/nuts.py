@@ -198,12 +198,28 @@ def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
         logw = jnp.where(ok, jnp.logaddexp(logw, sub.log_weight), logw)
 
         # merge edges/rho only when the subtree is valid
+        old_plus, old_minus = z_plus, z_minus
         z_plus = jax.tree.map(lambda new, old: jnp.where(ok & go_right, new, old),
                               sub.edge, z_plus)
         z_minus = jax.tree.map(lambda new, old: jnp.where(ok & (~go_right), new, old),
                                sub.edge, z_minus)
         rho_new = rho + sub.rho
         merged_turn = _is_turning(m_inv * z_minus.p, m_inv * z_plus.p, rho_new)
+        # Stan's sharper extra checks across the merge boundary: the old tree
+        # extended by the subtree's innermost momentum, and the subtree
+        # extended by the old tree's adjacent edge momentum (stan-dev/stan
+        # base_nuts transition; prevents runaway max-depth trajectories)
+        inner_old = jax.tree.map(lambda a, b: jnp.where(go_right, a, b),
+                                 old_plus, old_minus)
+        rho_lx = rho + sub.first.p
+        turn_lx = _is_turning(m_inv * jnp.where(go_right, old_minus.p, sub.first.p),
+                              m_inv * jnp.where(go_right, sub.first.p, old_plus.p),
+                              rho_lx)
+        rho_rx = sub.rho + inner_old.p
+        turn_rx = _is_turning(m_inv * jnp.where(go_right, inner_old.p, sub.edge.p),
+                              m_inv * jnp.where(go_right, sub.edge.p, inner_old.p),
+                              rho_rx)
+        merged_turn = merged_turn | turn_lx | turn_rx
         rho = jnp.where(ok, rho_new, rho)
         turning = jnp.logical_or(sub.turning, ok & merged_turn)
         diverging = jnp.logical_or(diverging, sub.diverging)

@@ -681,6 +681,9 @@ class Inverter:
         calibrated hierarchical Bayesian model."""
         if ridge_kw is None:
             ridge_kw = {}
+        from .profiling import StageTimer
+        import time as _time
+        self.timings = StageTimer()
 
         init_values = None
         if init_from_ridge:
@@ -763,8 +766,11 @@ class Inverter:
                                    samples=samples, cfg=nuts_cfg)
 
             keys = jax.random.split(key, chains)
-            draws, info = jax.vmap(one_chain)(keys)
-            draws_np = np.asarray(draws)      # (chains, samples, D)
+            _t_solve = _time.perf_counter()
+            with self.timings.stage("sample"):
+                draws, info = jax.vmap(one_chain)(keys)
+                draws_np = np.asarray(draws)      # (chains, samples, D)
+            _t_solve = _time.perf_counter() - _t_solve
             self._raw_draws = draws_np
             self._unravel = unravel
 
@@ -784,13 +790,18 @@ class Inverter:
             self._sample_result = self._stan_style_result(cfg, names, cons,
                                                           preds, sts)
             div = np.asarray(info["diverging"])
+            ess = mcmc_diagnostics.ess(draws_np)
             self.sample_diagnostics = {
                 "divergence_rate": float(div.mean()),
                 "accept_prob": float(np.asarray(info["accept_prob"]).mean()),
                 "step_size": np.asarray(info["step_size"]),
                 "rhat_max": float(np.max(mcmc_diagnostics.rhat(draws_np))),
-                "ess_min": float(np.min(mcmc_diagnostics.ess(draws_np))),
+                "ess_min": float(np.min(ess)),
+                "ess_mean": float(np.mean(ess)),
                 "n_leapfrog": float(np.asarray(info["n_leapfrog"]).mean()),
+                "wall_time_s": float(_t_solve),
+                # ESS/sec: the BASELINE.json headline sampling metric
+                "ess_per_sec": float(np.mean(ess) / max(_t_solve, 1e-9)),
             }
             if self.sample_diagnostics["divergence_rate"] > 0.1:
                 warnings.warn(
@@ -1660,7 +1671,9 @@ class Inverter:
                     "detail": ["_init_params", "_opt_result"]},
             "bayes": {"core": ["stan_model_name", "_sample_result",
                                "error_fit", "sample_diagnostics"],
-                      "detail": ["_init_params"]},
+                      # raw unconstrained draws allow checkpoint/resume of
+                      # posterior analysis without refitting
+                      "detail": ["_init_params", "_raw_draws"]},
         }
         if which == "all":
             return (sum(fit_attributes["common"].values(), [])
