@@ -45,48 +45,69 @@ class BatchFitResult(NamedTuple):
     diagnostics: dict
 
 
+def _cpu_context():
+    """Matrix construction is one-time setup; keep it on the host CPU backend
+    so the (slow, tunneled) TPU compiler is reserved for the sampling
+    program itself."""
+    import contextlib
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
 def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
-                  nonneg=False, dtype=None):
+                  nonneg=False, dtype=None, distributions=None):
+    """Shared per-batch setup: matrices at the common frequency grid for an
+    arbitrary distributions dict (default: single series DRT)."""
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    """Shared per-batch setup: matrices at the common frequency grid."""
     frequencies = np.sort(np.asarray(frequencies, float))[::-1]
-    if basis_freq is None:
-        tau = get_tau_basis(frequencies)
+    if distributions is None:
+        distributions = {"DRT": {"kernel": "DRT", "dist_type": "series"}}
     else:
-        tau = 1.0 / (2 * np.pi * np.asarray(basis_freq, float))
-    eps = default_epsilon(tau) if epsilon is None else float(epsilon)
-    f_coll = 1.0 / (2 * np.pi * tau)
+        # light normalization of the mini-DSL (full validation lives in
+        # Inverter.set_distributions)
+        distributions = {k: dict(v) for k, v in distributions.items()}
+        for info in distributions.values():
+            info.setdefault("dist_type",
+                            "series" if info.get("kernel") == "DRT"
+                            else "parallel")
+
     build_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    # matrix construction is a one-time setup step; run it on the host CPU
-    # backend so the (slow, tunneled) TPU compiler is reserved for the
-    # sampling program itself
-    try:
-        build_device = jax.devices("cpu")[0]
-    except RuntimeError:
-        build_device = None
-    import contextlib
-    ctx = (jax.default_device(build_device) if build_device is not None
-           else contextlib.nullcontext())
-    with ctx:
-        mats = {
-            "A_re": np.asarray(construct_A(frequencies, "real", tau=tau, epsilon=eps,
-                                           dtype=build_dtype)),
-            "A_im": np.asarray(construct_A(frequencies, "imag", tau=tau, epsilon=eps,
-                                           dtype=build_dtype)),
-            "L0": np.asarray(construct_L(f_coll, tau=tau, epsilon=eps, order=0,
-                                         dtype=build_dtype)),
-            "L1": np.asarray(construct_L(f_coll, tau=tau, epsilon=eps, order=1,
-                                         dtype=build_dtype)),
-            "L2": np.asarray(construct_L(f_coll, tau=tau, epsilon=eps, order=2,
-                                         dtype=build_dtype)),
-        }
-    dists = {"DRT": {"kernel": "DRT", "dist_type": "series"}}
-    # dummy target; replaced per spectrum through vmap
-    z_dummy = np.ones(len(frequencies)) + 0j
-    cfg, data = build_posterior(dists, {"DRT": mats}, frequencies, z_dummy,
+    dist_mats = {}
+    first_tau, first_eps = None, None
+    with _cpu_context():
+        for name, info in distributions.items():
+            bf = info.get("basis_freq", basis_freq)
+            if bf is None:
+                tau = get_tau_basis(frequencies)
+            else:
+                tau = 1.0 / (2 * np.pi * np.asarray(bf, float))
+            eps = info.get("epsilon", epsilon)
+            eps = default_epsilon(tau) if eps is None else float(eps)
+            f_coll = 1.0 / (2 * np.pi * tau)
+            kw = dict(tau=tau, epsilon=eps, kernel=info.get("kernel", "DRT"),
+                      dist_type=info["dist_type"],
+                      symmetry=info.get("symmetry", "planar"),
+                      bc=info.get("bc", "transmissive"),
+                      ct=info.get("ct", False), k_ct=info.get("k_ct", None),
+                      dtype=build_dtype)
+            mats = {
+                "A_re": np.asarray(construct_A(frequencies, "real", **kw)),
+                "A_im": np.asarray(construct_A(frequencies, "imag", **kw)),
+            }
+            for o in (0, 1, 2):
+                mats[f"L{o}"] = np.asarray(construct_L(
+                    f_coll, tau=tau, epsilon=eps, order=o, dtype=build_dtype))
+            dist_mats[name] = mats
+            if first_tau is None:
+                first_tau, first_eps = tau, eps
+
+    z_dummy = np.ones(len(frequencies)) + 0j   # replaced per spectrum via vmap
+    cfg, data = build_posterior(distributions, dist_mats, frequencies, z_dummy,
                                 mode=mode, nonneg=nonneg, dtype=dtype)
-    return frequencies, tau, eps, cfg, data
+    return frequencies, first_tau, first_eps, cfg, data
 
 
 def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
@@ -94,13 +115,17 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       chains: int = 4, warmup: int = 500, samples: int = 500,
                       max_iter: int = 2000, n_restarts: int = 2,
                       random_seed: int = 0, mesh: Optional[Mesh] = None,
-                      max_tree_depth: int = 10, dtype=None) -> BatchFitResult:
+                      max_tree_depth: int = 10, dtype=None,
+                      distributions=None) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
     Z_batch: complex array (B, N). mode='sample' runs ``chains`` NUTS chains
     per spectrum; mode='optimize' runs ``n_restarts`` L-BFGS restarts per
     spectrum. With ``mesh`` (axes named 'spectra' [, 'chains']), the batch is
-    sharded across devices.
+    sharded across devices. ``distributions`` uses the Inverter mini-DSL
+    (default: single series DRT); for multi-distribution fits the returned
+    ``coef`` holds the first distribution, with the others under
+    ``diagnostics['coef_<i>']`` (scaled-space).
     """
     Z_batch = np.asarray(Z_batch)
     b, n = Z_batch.shape
@@ -108,7 +133,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     frequencies, tau, eps, cfg, data = _build_shared(
         frequencies, basis_freq, epsilon, mode="sample" if mode == "sample" else "optimize",
-        nonneg=nonneg, dtype=dtype)
+        nonneg=nonneg, dtype=dtype, distributions=distributions)
+    n_dists = len(cfg.dists)
 
     # per-spectrum scaling (reference: inversion.py:2437-2441)
     z_scales = np.std(np.abs(Z_batch), axis=1) / np.sqrt(n / 81)
@@ -153,7 +179,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             b_var = half * cm.var(ddof=1)
             var_plus = (half - 1) / half * w_var + b_var / half
             lp_rhat = jnp.sqrt(var_plus / jnp.maximum(w_var, 1e-12))
-            return {
+            out = {
                 "coef": xs.mean(axis=0),
                 "coef_lo": jnp.percentile(xs, 2.5, axis=0),
                 "coef_hi": jnp.percentile(xs, 97.5, axis=0),
@@ -164,6 +190,10 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 "n_leapfrog": info["n_leapfrog"].astype(jnp.float32).mean(),
                 "logp_rhat": lp_rhat,
             }
+            for i in range(1, n_dists):
+                xi = jax.vmap(lambda q: constrain(cfg, data, unravel(q))[f"x_{i}"])(flat)
+                out[f"coef_{i}"] = xi.mean(axis=0)
+            return out
     else:
         def fit_one(target, skey):
             logp = logp_for(target)
@@ -178,7 +208,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             best = jnp.argmin(jnp.where(jnp.isfinite(res.value), res.value, jnp.inf))
             q_best = res.params[best]
             c = constrain(cfg, data, unravel(q_best))
-            return {
+            out = {
                 "coef": c["x_0"],
                 "coef_lo": c["x_0"],
                 "coef_hi": c["x_0"],
@@ -187,6 +217,9 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 "value": res.value[best],
                 "n_iter": res.n_iter[best].astype(jnp.float32),
             }
+            for i in range(1, n_dists):
+                out[f"coef_{i}"] = c[f"x_{i}"]
+            return out
 
     batched = jax.jit(jax.vmap(fit_one))
     if mesh is not None:

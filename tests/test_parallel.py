@@ -78,3 +78,32 @@ def test_batched_ridge():
     inv.ridge_fit(freq, Zb[0], preset="Huang")
     g_single = inv.predict_distribution("DRT", eval_tau=gt["tau"].values)
     np.testing.assert_allclose(g[0], g_single, atol=0.02 * rp)
+
+
+def test_batched_ddt_fit():
+    """Batched MAP over a DDT distribution config (generalized batch API)."""
+    df = pd.read_csv("/root/reference/data/simulated/Z_BimodalTP-DDT_uniform_0.05.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    Zb = np.stack([Z, Z])
+    res = fit_spectra_batch(
+        freq, Zb, mode="optimize", n_restarts=3, max_iter=1500,
+        distributions={"DDT": {"kernel": "DDT", "symmetry": "planar",
+                               "bc": "transmissive", "dist_type": "parallel",
+                               "basis_freq": np.logspace(6, -3, 91)}})
+    assert res.coef.shape == (2, 91)
+    assert np.isfinite(res.coef).all()
+
+
+def test_ragged_pipeline_native_to_batch():
+    """native.load_spectra buckets feed the batch ridge directly."""
+    import glob
+    from bayes_drt_tpu import native
+    from bayes_drt_tpu.parallel import ridge_fit_spectra_batch
+    files = sorted(glob.glob("/root/reference/data/simulated/Z_*ZARC*_uniform_*.csv"))
+    buckets = native.load_spectra(files)
+    big = buckets[0]
+    res = ridge_fit_spectra_batch(big["freq"], big["Z"])
+    assert res.coef.shape[0] == big["Z"].shape[0]
+    assert np.isfinite(res.coef).all()
+    assert (np.abs(res.r_inf) < 100).all()
