@@ -392,21 +392,37 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
         da_reset = _da_init(jnp.exp(da.log_eps), dtype)
         da = jax.tree.map(lambda r, o: jnp.where(wend, r, o), da_reset, da)
 
+        return (q, logp, grad, da, wf, m_inv, key), info
+
+    def warm_step(carry, xs):
+        # warmup: keep only scalar diagnostics, never stack draws (large
+        # batches would otherwise hold warmup positions in HBM for nothing)
+        carry, info = step(carry, xs)
+        return carry, info.diverging
+
+    def sample_step(carry, xs):
+        carry, info = step(carry, xs)
+        q, logp = carry[0], carry[1]
         out = (q, logp, info.accept_prob, info.diverging, info.n_leapfrog,
-               info.energy, eps, info.tree_depth)
-        return (q, logp, grad, da, wf, m_inv, key), out
+               info.energy, info.tree_depth)
+        return carry, out
 
     carry0 = (q0, logp0, grad0, da0, wf0, m_inv0, key)
-    carry, outs = jax.lax.scan(step, carry0, (in_warm, in_slow, win_end))
-    qs, logps, accept, div, n_leap, energy, eps_trace, depth = outs
+    carry, warm_div = jax.lax.scan(
+        warm_step, carry0,
+        (in_warm[:warmup], in_slow[:warmup], win_end[:warmup]))
+    carry, outs = jax.lax.scan(
+        sample_step, carry,
+        (in_warm[warmup:], in_slow[warmup:], win_end[warmup:]))
+    qs, logps, accept, div, n_leap, energy, depth = outs
     info = {
-        "logp": logps[warmup:],
-        "accept_prob": accept[warmup:],
-        "diverging": div[warmup:],
-        "n_leapfrog": n_leap[warmup:],
-        "energy": energy[warmup:],
+        "logp": logps,
+        "accept_prob": accept,
+        "diverging": div,
+        "n_leapfrog": n_leap,
+        "energy": energy,
         "step_size": jnp.exp(carry[3].log_eps_bar),
         "inv_mass": carry[5],
-        "warmup_diverging": div[:warmup],
+        "warmup_diverging": warm_div,
     }
-    return qs[warmup:], info
+    return qs, info

@@ -503,7 +503,7 @@ class Inverter:
             if not bool(res.converged):
                 warnings.warn(f"Hyperparametric solution did not converge within "
                               f"{max_iter} iterations")
-            coef = np.asarray(res.coef)
+            coef = np.array(res.coef)
             fit_info = {"coef": coef.copy(),
                         "lambda_vectors": np.asarray(res.lam_vectors),
                         "cost": float(res.cost)}
@@ -518,14 +518,14 @@ class Inverter:
             if not bool(res.converged):
                 warnings.warn(f"Hyperparametric solution did not converge within "
                               f"{max_iter} iterations")
-            coef = np.asarray(res.coef)
+            coef = np.array(res.coef)
             fit_info = {"coef": coef.copy(),
                         "weights": np.asarray(res.weights_re)
                         + 1j * np.asarray(res.weights_im),
                         "cost": float(res.cost)}
         else:
             res = run_ordinary_ridge(part, data, float(lambda_0))
-            coef = np.asarray(res.coef)
+            coef = np.array(res.coef)
             fit_info = {"coef": coef.copy(), "cost": float(res.cost)}
 
         # part-specific offset recovery (reference: inversion.py:854-873)
