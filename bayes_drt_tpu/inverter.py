@@ -676,9 +676,14 @@ class Inverter:
             ridge_kw=None, sigma_min=0.002, inductance_scale=1.0,
             outlier_lambda=None, mode="optimize", random_seed=1234,
             max_iter=4000, warmup=200, samples=200, chains=2,
-            fitY=False, n_restarts=2, max_tree_depth=10, adapt_delta=0.9):
+            fitY=False, SA=False, SASY=False, n_restarts=2,
+            max_tree_depth=10, adapt_delta=0.9):
         """MAP (mode='optimize') or full HMC (mode='sample') fit of the
         calibrated hierarchical Bayesian model."""
+        if SA or SASY:
+            raise ValueError("The SA/SASY row-scaling experiments are marked "
+                             "'for testing only' in the reference "
+                             "(inversion.py:1150-1151) and are not implemented")
         if ridge_kw is None:
             ridge_kw = {}
         from .profiling import StageTimer

@@ -43,13 +43,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     from bayes_drt_tpu.parallel import evaluate_gamma, fit_spectra_batch
 
-    df = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
-    freq = df["Freq"].values
-    Z = df["Zreal"].values + 1j * df["Zimag"].values
-    rng = np.random.default_rng(0)
-    noise = 0.001 * (rng.standard_normal((B, len(Z)))
-                     + 1j * rng.standard_normal((B, len(Z))))
-    Zb = Z[None, :] + noise
+    from bayes_drt_tpu import sim
+    # noisy replicas of the reference's simulated ZARC circuit at its
+    # standard 0.25% uniform noise level (Data simulation.ipynb)
+    freq, Zb = sim.make_benchmark_batch(B, circuit="ZARC",
+                                        noise_level=0.0025, seed=0)
 
     # warm the compile cache with a 2-draw run of identical structure so the
     # timed run measures sampling, not XLA compilation
