@@ -2,13 +2,12 @@
 
 The reference has no diagnostics beyond Stan's console output; these power
 the ESS/sec benchmark metric (BASELINE.json) and convergence checks in the
-Inverter API. Implemented with jnp FFT autocorrelation (Geyer initial
-positive sequence), vmappable across parameters.
+Inverter API. Host-side numpy (FFT autocorrelation with Geyer's initial
+positive sequence) — diagnostics run once per fit, not in the hot path.
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 

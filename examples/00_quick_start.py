@@ -7,6 +7,10 @@ Run: python examples/00_quick_start.py  (writes figures to examples/out/)
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import time
 
 import matplotlib

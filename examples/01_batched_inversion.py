@@ -7,6 +7,11 @@ hyper-lambda ridge (milliseconds/spectrum) and full HMC posteriors
 Run: python examples/01_batched_inversion.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import glob
 import time
 
