@@ -32,6 +32,21 @@ from ..infer.map import run_lbfgs
 from ..infer.ridge import HyperLambdaConfig, RidgeData, run_hyper_lambda
 
 
+def _pad_pow2(Z_batch, min_size: int = 8):
+    """Pad the batch to the next power of two (>= min_size) by repeating the
+    first spectrum. Batch runtime is nearly flat in B, and padding means a
+    handful of compiled program shapes cover every batch size — important
+    because each new shape costs a full XLA compile."""
+    b = Z_batch.shape[0]
+    target = min_size
+    while target < b:
+        target *= 2
+    if target == b:
+        return Z_batch, b
+    pad = np.repeat(Z_batch[:1], target - b, axis=0)
+    return np.concatenate([Z_batch, pad], axis=0), b
+
+
 class BatchFitResult(NamedTuple):
     """Results for a batch of spectra."""
     coef: np.ndarray          # (B, K) posterior-mean (sample) or MAP coefficients, rescaled
@@ -128,6 +143,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     ``diagnostics['coef_<i>']`` (scaled-space).
     """
     Z_batch = np.asarray(Z_batch)
+    Z_batch, b_real = _pad_pow2(Z_batch)
     b, n = Z_batch.shape
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -230,7 +246,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         batched = jax.jit(jax.vmap(fit_one), out_shardings=spec)
 
     out = batched(targets, spectrum_keys)
-    out = {k: np.asarray(v) for k, v in out.items()}
+    out = {k: np.asarray(v)[:b_real] for k, v in out.items()}
+    z_scales = z_scales[:b_real]
 
     scale = z_scales[:, None]
     diagnostics = {k: out[k] for k in out
@@ -255,6 +272,7 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     program (~milliseconds per spectrum vs the reference's ~0.1 s serial
     cvxopt solves). Shares one frequency/basis grid across the batch."""
     Z_batch = np.asarray(Z_batch)
+    Z_batch, b_real = _pad_pow2(Z_batch)
     b, n = Z_batch.shape
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -343,6 +361,8 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
         sh = NamedSharding(mesh, P("spectra", None))
         t_re, t_im, w_j = (jax.device_put(a, sh) for a in (t_re, t_im, w_j))
     coefs, n_iter, converged = jax.tree.map(np.asarray, batched(t_re, t_im, w_j))
+    coefs, n_iter, converged = coefs[:b_real], n_iter[:b_real], converged[:b_real]
+    z_scales = z_scales[:b_real]
 
     coefs = coefs * z_scales[:, None]
     return BatchFitResult(

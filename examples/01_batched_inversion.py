@@ -5,6 +5,10 @@ hyper-lambda ridge (milliseconds/spectrum) and full HMC posteriors
 (hundreds of spectra for the price of one).
 
 Run: python examples/01_batched_inversion.py
+
+Note: the first run of each program shape pays an XLA compile (~seconds on
+local TPU, minutes through a remote-compile tunnel); batches are padded to
+power-of-two sizes so repeated runs reuse compiled shapes.
 """
 
 import os
