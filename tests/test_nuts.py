@@ -78,3 +78,30 @@ def test_deterministic_given_key():
     d2, _ = sample_nuts(logp, jnp.zeros(2), jax.random.PRNGKey(7),
                         warmup=50, samples=50)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_dense_mass_correlated_gaussian():
+    """Dense metric handles strong correlations: moments recovered and
+    trajectories much shorter than with the diagonal metric."""
+    d = 6
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((d, d))
+    cov = A @ A.T + 0.05 * np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(q):
+        return -0.5 * q @ (prec @ q)
+
+    cfg_dense = NUTSConfig(dense_mass=True)
+    draws, info = sample_nuts(logp, jnp.zeros(d), jax.random.PRNGKey(4),
+                              warmup=600, samples=1200, cfg=cfg_dense)
+    draws = np.asarray(draws)
+    est_cov = np.cov(draws.T)
+    rel_f = np.linalg.norm(est_cov - cov) / np.linalg.norm(cov)
+    assert rel_f < 0.3, rel_f
+
+    draws2, info2 = sample_nuts(logp, jnp.zeros(d), jax.random.PRNGKey(4),
+                                warmup=600, samples=1200)
+    n_dense = float(np.asarray(info["n_leapfrog"]).mean())
+    n_diag = float(np.asarray(info2["n_leapfrog"]).mean())
+    assert n_dense < 0.7 * n_diag, (n_dense, n_diag)

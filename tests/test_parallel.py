@@ -107,3 +107,25 @@ def test_ragged_pipeline_native_to_batch():
     assert res.coef.shape[0] == big["Z"].shape[0]
     assert np.isfinite(res.coef).all()
     assert (np.abs(res.r_inf) < 100).all()
+
+
+def test_ragged_grids_one_program():
+    """Spectra with different frequency grids fit together via padding+mask."""
+    from bayes_drt_tpu.parallel import fit_spectra_ragged
+    d1 = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
+    d2 = pd.read_csv("/root/reference/data/simulated/Z_trunc_noiseless.csv")
+    spectra = [
+        (d1["Freq"].values, d1["Zreal"].values + 1j * d1["Zimag"].values),
+        (d2["Freq"].values, d2["Zreal"].values + 1j * d2["Zimag"].values),
+    ]
+    assert len(spectra[0][0]) != len(spectra[1][0])
+    res = fit_spectra_ragged(spectra, mode="optimize", n_restarts=3,
+                             max_iter=1500, random_seed=0)
+    assert res.coef.shape[0] == 2
+    assert np.isfinite(res.coef).all()
+    # spectrum 1 is the standard ZARC: gamma must match truth
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g = evaluate_gamma(res, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse0 = np.sqrt(np.mean((g[0] - gt["gamma"].values) ** 2))
+    assert rmse0 < 0.1 * rp, rmse0
