@@ -23,13 +23,14 @@ def test_fitY_admittance_fit():
     inv.fit(freq, Z, fitY=True, random_seed=0, n_restarts=2)
     assert inv.stan_model_name == "Parallel_fitY"
     assert inv.R_inf == 0 and inv.inductance == 0
-    # admittance prediction: Y_hat = A x should track 1/Z
-    y_pred = 1.0 / inv.predict_Z(freq, include_offsets=False)
-    # compare admittance magnitudes within 10% over mid-frequency band
-    band = (freq < 1e4) & (freq > 1e-1)
-    rel = np.abs(y_pred[np.argsort(freq)[::-1]][band[np.argsort(freq)[::-1]]]
-                 - (1 / Z)[np.argsort(freq)[::-1]][band[np.argsort(freq)[::-1]]])
-    assert np.isfinite(rel).all()
+    # fitY fits the admittance directly: Y_hat = A x must track Y = 1/Z
+    order = np.argsort(freq)[::-1]
+    f_s, Y_s = freq[order], (1.0 / Z)[order]
+    mat = inv._get_prediction_matrices(f_s, ["DDT"])["DDT"]
+    coef = inv.distribution_fits["DDT"]["coef"]
+    y_hat = mat["A_re"] @ coef + 1j * (mat["A_im"] @ coef)
+    rel = np.abs(y_hat - Y_s) / np.abs(Y_s)
+    assert np.median(rel) < 0.05, np.median(rel)
 
 
 def test_fitY_requires_parallel():
