@@ -46,3 +46,23 @@ def test_map_outlier_fit_experimental():
     z_hat = inv.predict_Z(freq)
     rel = np.abs(z_hat - Z) / np.abs(Z)
     assert np.median(rel) < 0.01
+
+
+def test_hmc_outlier_fit_experimental():
+    """BASELINE config 4: full HMC with the outlier error model on the
+    Tutorial-3 experimental spectrum, with credible intervals."""
+    df = read_eis(PDAC, warn=False)
+    freq, Z = get_fZ(df)
+    inv = Inverter(basis_freq=np.logspace(7, -3, 101))
+    inv.fit(freq, Z, outliers=True, nonneg=True, mode="sample", warmup=120,
+            samples=120, chains=2, init_from_ridge=True, random_seed=0,
+            max_tree_depth=8, check_outliers=False)
+    assert inv.stan_model_name == "Series_pos_outliers"
+    assert inv.sample_diagnostics["divergence_rate"] < 0.2
+    so = np.asarray(inv.error_fit["sigma_out"])
+    assert so.max() > 10 * np.median(so)     # outliers isolated
+    glo = inv.predict_distribution(percentile=2.5)
+    ghi = inv.predict_distribution(percentile=97.5)
+    assert (ghi >= glo - 1e-9).all()
+    z_hat = inv.predict_Z(freq)
+    assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.02
