@@ -1746,6 +1746,7 @@ class Inverter:
                      plot_data=plot_data, color=color, **kw)
 
     def plot_peak_fit(self, ax=None, distribution=None, tau_plot=None,
+                      plot_bounds=False, plot_ci=False,
                       plot_individual_peaks=True, **kw):
         """Recovered distribution with the HN peak decomposition overlaid
         (reference: inversion.py:3866-3975)."""
@@ -1760,6 +1761,15 @@ class Inverter:
                                    np.log10(basis_tau.max()), 200)
         gamma = self.predict_distribution(distribution, eval_tau=tau_plot)
         ax.plot(tau_plot, gamma, label="distribution", **kw)
+        if plot_ci and self.fit_type == "bayes":
+            lo = self.predict_distribution(distribution, eval_tau=tau_plot,
+                                           percentile=2.5)
+            hi = self.predict_distribution(distribution, eval_tau=tau_plot,
+                                           percentile=97.5)
+            ax.fill_between(tau_plot, lo, hi, alpha=0.25)
+        if plot_bounds:
+            for fb in (np.max(self.f_train), np.min(self.f_train)):
+                ax.axvline(1.0 / (2 * np.pi * fb), ls=":", c="gray", lw=1)
         g_fit = self.predict_peak_distribution(eval_tau=tau_plot,
                                                distribution=distribution)
         ax.plot(tau_plot, g_fit, ls="--", label="peak fit")
