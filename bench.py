@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 
 
-B = 128
+B = 512
 CHAINS = 4
 WARMUP = 250
 SAMPLES = 250
