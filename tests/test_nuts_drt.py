@@ -54,3 +54,32 @@ def test_hmc_zarc_matches_reference_posterior():
     width = np.mean(ghi - glo)
     ref_width = np.mean(ref["gamma_hi"].values - ref["gamma_lo"].values)
     assert 0.3 * ref_width < width < 3.0 * ref_width, (width, ref_width)
+
+
+def test_hmc_tp_ddt_matches_reference_posterior():
+    """Parallel-model-family sampling path (stiff admittance-inversion
+    likelihood) against the reference's committed Stan posterior."""
+    import pandas as pd
+    from bayes_drt_tpu import Inverter
+
+    df = pd.read_csv("/root/reference/data/simulated/Z_BimodalTP-DDT_uniform_0.05.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    inv = Inverter(distributions={
+        "DDT": {"kernel": "DDT", "symmetry": "planar", "bc": "transmissive",
+                "dist_type": "parallel", "basis_freq": np.logspace(6, -3, 91)}})
+    inv.fit(freq, Z, mode="sample", warmup=150, samples=150, chains=2,
+            random_seed=3, max_tree_depth=9)
+    ref = pd.read_csv("/root/reference/code_EchemActa/bayes_results/"
+                      "Gout_BimodalTP-DDT_uniform_0.05.csv")
+    gm = inv.predict_distribution("DDT", eval_tau=ref["tau"].values)
+    scale = np.max(np.abs(ref["gamma"].values))
+    rmse = np.sqrt(np.mean((gm - ref["gamma"].values) ** 2))
+    assert rmse < 0.15 * scale, rmse
+    # credible interval widths the same order as the reference's
+    glo = inv.predict_distribution("DDT", eval_tau=ref["tau"].values,
+                                   percentile=2.5)
+    ghi = inv.predict_distribution("DDT", eval_tau=ref["tau"].values,
+                                   percentile=97.5)
+    w_ref = np.mean(ref["gamma_hi"].values - ref["gamma_lo"].values)
+    assert 0.3 * w_ref < np.mean(ghi - glo) < 3.0 * w_ref
