@@ -205,7 +205,10 @@ def _lambda_step(cfg: HyperLambdaConfig, data: RidgeData, state: HyperLambdaStat
     """One analytic lambda update for all three orders
     (reference: inversion.py:631-691)."""
     coef_eff = state.coef / state.dZ_re
-    hyper_lam0 = _lambda0_from_ab(cfg, state.hyper_as, state.hyper_bs)
+    ab_updated = jnp.logical_and(state.it > 0,
+                                 cfg.use_hyper_a or cfg.use_hyper_b)
+    hyper_lam0 = _lambda0_from_ab(cfg, state.hyper_as, state.hyper_bs,
+                                  ab_updated)
     hyper_beta = 2.0 * state.hyper_as
 
     def per_order(n, lam_prev):
@@ -238,12 +241,19 @@ def _lambda_step(cfg: HyperLambdaConfig, data: RidgeData, state: HyperLambdaStat
     return lam_new
 
 
-def _lambda0_from_ab(cfg: HyperLambdaConfig, hyper_as, hyper_bs):
-    """lambda_0 implied by the gamma hyperprior shape/rate
-    (reference: inversion.py:466-475, 550, 561)."""
+def _lambda0_from_ab(cfg: HyperLambdaConfig, hyper_as, hyper_bs, ab_updated):
+    """lambda_0 implied by the gamma hyperprior shape/rate.
+
+    The reference initializes hyper_lambda0s with a factor-of-two halving
+    ((2a-2)/(2b) integral, (2a-1)/(2b) discrete; inversion.py:466-475) but
+    RECOMPUTES it as (2a-2)/b inside the hyper_a/hyper_b update blocks
+    (inversion.py:550, 561) — we reproduce both regimes."""
     if cfg.penalty == "integral":
-        return (2.0 * hyper_as - 2.0) / (2.0 * hyper_bs)
-    return (2.0 * hyper_as - 1.0) / (2.0 * hyper_bs)
+        init = (2.0 * hyper_as - 2.0) / (2.0 * hyper_bs)
+    else:
+        init = (2.0 * hyper_as - 1.0) / (2.0 * hyper_bs)
+    updated = (2.0 * hyper_as - 2.0) / hyper_bs
+    return jnp.where(ab_updated, updated, init)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -779,19 +779,18 @@ class Inverter:
             self._raw_draws = draws_np
             self._unravel = unravel
 
-            # constrained per-draw quantities, Stan-result style
+            # constrained per-draw quantities, Stan-result style (one pass)
             flat = draws_np.reshape(-1, draws_np.shape[-1])
-            cons = jax.vmap(lambda q: constrain(cfg, data, unravel(q)))(
-                jnp.asarray(flat))
+
+            def per_draw(q):
+                c = constrain(cfg, data, unravel(q))
+                pred = predict_target(cfg, data, c)
+                return c, pred, sigma_tot(cfg, data, c, pred)
+
+            cons, preds, sts = jax.vmap(per_draw)(jnp.asarray(flat))
             cons = {k: np.asarray(v) for k, v in cons.items()}
-            preds = np.asarray(jax.vmap(
-                lambda q: predict_target(cfg, data, constrain(cfg, data, unravel(q)))
-            )(jnp.asarray(flat)))
-            sts = np.asarray(jax.vmap(
-                lambda q: sigma_tot(cfg, data, constrain(cfg, data, unravel(q)),
-                                    predict_target(cfg, data,
-                                                   constrain(cfg, data, unravel(q))))
-            )(jnp.asarray(flat)))
+            preds = np.asarray(preds)
+            sts = np.asarray(sts)
             self._sample_result = self._stan_style_result(cfg, names, cons,
                                                           preds, sts)
             div = np.asarray(info["diverging"])
@@ -909,7 +908,7 @@ class Inverter:
                                                        epsilon=eps, order=o))
                       for o, s in ((0, 0.24), (1, 0.16), (2, 0.08))])
 
-        target = (Z_scaled if info["dist_type"] == "series" else Z_scaled)
+        target = Z_scaled
         cfg = DriftConfig(drift_model=drift_model, dist_type=info["dist_type"],
                           nonneg=nonneg, K=len(tau))
         data = DriftData(
@@ -947,7 +946,6 @@ class Inverter:
             ridge_init["dx"] = np.full_like(x_r, 1e-3)
             ridge_init["x2"] = np.full_like(x_r, 1e-3)
             self.distribution_fits, self.fit_type, self._Z_scale = saved_state
-            self._Z_scale = saved_state[2] if saved_state[2] != 1.0 else self._Z_scale
         except Exception as exc:  # pragma: no cover - init is best-effort
             warnings.warn(f"Ridge initialization for drift fit failed: {exc}")
         # restore state overwritten by the internal ridge fit (it sorts
@@ -1511,6 +1509,7 @@ class Inverter:
                                      rel_round(self.f_train, 10))
                       and self.Z_train is not None
                       and len(Z) == len(self.Z_train)
+                      and check_equality(np.sort(Z), np.sort(self.Z_train))
                       and bool(self.distribution_fits))
         if not (use_existing_fit and fit_exists):
             self.ridge_fit(frequencies, Z, preset="Huang", **ridge_kw)
@@ -1679,6 +1678,9 @@ class Inverter:
                       # raw unconstrained draws allow checkpoint/resume of
                       # posterior analysis without refitting
                       "detail": ["_init_params", "_raw_draws"]},
+            "map-drift": {"core": ["stan_model_name", "error_fit",
+                                   "drift_offsets"],
+                          "detail": ["_drift_result"]},
         }
         if which == "all":
             return (sum(fit_attributes["common"].values(), [])

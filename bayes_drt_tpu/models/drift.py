@@ -66,6 +66,11 @@ def _sigmoid_bounded(u, lo, hi):
     return lo + (hi - lo) * jax.nn.sigmoid(u)
 
 
+def _sigmoid_log_jac(u, lo, hi):
+    """log |d/du (lo + (hi-lo) sigmoid(u))|."""
+    return (jnp.log(hi - lo) - jax.nn.softplus(-u) - jax.nn.softplus(u))
+
+
 def _coef_vector_names(cfg: DriftConfig):
     m = cfg.drift_model
     if m in ("x1", "x2"):
@@ -229,6 +234,27 @@ def drift_log_density(cfg: DriftConfig, data: DriftData, p: dict,
         for nm in ("Rinf0_raw", "induc_raw", "sigma_res_raw", "alpha_prop_raw",
                    "alpha_re_raw", "alpha_im_raw"):
             lp = lp + p[nm]
+        m = cfg.drift_model
+        if m in ("x1", "x2", "dx"):
+            u_t1 = p.get("u_tau_x1", p.get("u_tau_dx"))
+            lp = lp + _sigmoid_log_jac(u_t1, data.tau_bounds[0],
+                                       data.tau_bounds[1])
+            lp = lp + _sigmoid_log_jac(p["u_tau_Rinf"], data.tau_bounds[0],
+                                       data.tau_bounds[1])
+            if m == "x2":
+                lp = lp + _sigmoid_log_jac(p["u_tau_x2"], data.tau2_bounds[0],
+                                           data.tau2_bounds[1])
+        elif m.startswith("RQ"):
+            lp = lp + p["R_rq_raw"]                      # exp transform
+            # tau_rq = exp(bounded(u)) in log space -> chain both Jacobians
+            lp = lp + jnp.log(c["tau_rq"]) + _sigmoid_log_jac(
+                p["u_tau_rq"], jnp.log(data.rq_tau_bounds[0]),
+                jnp.log(data.rq_tau_bounds[1]))
+            lp = lp + _sigmoid_log_jac(p["u_phi_rq"], 0.0, 1.0)
+            if m in ("RQ", "RQ-from-final"):
+                lp = lp + jnp.log(c["k_d"]) + _sigmoid_log_jac(
+                    p["u_k"], jnp.log(data.k_bounds[0]),
+                    jnp.log(data.k_bounds[1]))
 
     lp = lp + std_normal_lpdf(jnp.exp(p["Rinf0_raw"]))
     lp = lp + std_normal_lpdf(p["dRinf_raw"])

@@ -249,15 +249,26 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     out = {k: np.asarray(v)[:b_real] for k, v in out.items()}
     z_scales = z_scales[:b_real]
 
-    scale = z_scales[:, None]
+    # rescale per distribution type: series coefficients multiply by the
+    # Z scale, parallel (admittance) coefficients divide
+    # (reference: inversion.py:2445-2450)
+    def rescale(i):
+        if cfg.dists[i].dist_type == "parallel":
+            return 1.0 / z_scales[:, None]
+        return z_scales[:, None]
+
+    scale0 = rescale(0)
     diagnostics = {k: out[k] for k in out
                    if k not in ("coef", "coef_lo", "coef_hi", "r_inf", "induc")}
+    for i in range(1, n_dists):
+        if f"coef_{i}" in diagnostics:
+            diagnostics[f"coef_{i}"] = diagnostics[f"coef_{i}"] * rescale(i)
     return BatchFitResult(
-        coef=out["coef"] * scale,
+        coef=out["coef"] * scale0,
         r_inf=out["r_inf"] * z_scales,
         inductance=out["induc"] * z_scales,
-        gamma_lo=out["coef_lo"] * scale if mode == "sample" else None,
-        gamma_hi=out["coef_hi"] * scale if mode == "sample" else None,
+        gamma_lo=out["coef_lo"] * scale0 if mode == "sample" else None,
+        gamma_hi=out["coef_hi"] * scale0 if mode == "sample" else None,
         z_scales=z_scales, tau=tau, epsilon=eps, diagnostics=diagnostics)
 
 
@@ -465,8 +476,11 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     Zs = Z_batch / z_scales[:, None]
     if weights == "modulus":
         w = 1.0 / np.abs(Zs)
+    elif weights in (None, "unity"):
+        w = np.ones(Zs.shape, dtype=float)
     else:
-        w = np.ones_like(Zs, dtype=float)
+        raise ValueError(f"Invalid weights {weights!r} for the batched ridge; "
+                         "options are 'modulus', 'unity'/None")
 
     lb = np.zeros(k) if nonneg else np.concatenate([np.zeros(2),
                                                     np.full(kb, -10.0)])

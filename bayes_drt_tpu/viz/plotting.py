@@ -67,11 +67,11 @@ def plot_bode(df, area=None, axes=None, label="", plot_func="scatter",
                  r"$-\varphi$ / $^\circ$" if invert_phase
                  else r"$\varphi$ / $^\circ$"),
     }
+    marker_size = plt_kw.pop("s", 10)
     for ax, col in zip(axes, cols):
         y, ylabel = series[col]
         if plot_func == "scatter":
-            ax.scatter(f, y, s=plt_kw.pop("s", 10), label=label,
-                       **{k: v for k, v in plt_kw.items()})
+            ax.scatter(f, y, s=marker_size, label=label, **plt_kw)
         else:
             ax.plot(f, y, label=label, **plt_kw)
         ax.set_xscale("log")
@@ -275,7 +275,8 @@ def plot_jv(df, area=None, plot_pwr=True, ax=None, pwr_kw=None, marker="o",
     i = np.abs(df["Im"].values)
     v = np.abs(df["Vf"].values)
     if area is not None:
-        i = i * area
+        # convert current to current density (reference: plotting.py:68)
+        i = i / area
     ax.plot(i, v, marker=marker, **plt_kw)
     ax.set_xlabel("$j$ / A$\\cdot$cm$^{-2}$" if area else "$I$ / A")
     ax.set_ylabel("$V$ / V")

@@ -93,6 +93,13 @@ def test_batched_ddt_fit():
                                "basis_freq": np.logspace(6, -3, 91)}})
     assert res.coef.shape == (2, 91)
     assert np.isfinite(res.coef).all()
+    # coefficient scale must be physical (guards the parallel-dist rescale
+    # direction: coef = scaled_coef / z_scale, not * z_scale)
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_BimodalTP-DDT.csv")
+    g = evaluate_gamma(res, gt["tau"].values)
+    scale = np.max(np.abs(gt["gamma"].values))
+    rmse = np.sqrt(np.mean((g[0] - gt["gamma"].values) ** 2))
+    assert rmse < 0.5 * scale, rmse
 
 
 def test_ragged_pipeline_native_to_batch():
