@@ -136,3 +136,19 @@ def test_ragged_grids_one_program():
     rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
     rmse0 = np.sqrt(np.mean((g[0] - gt["gamma"].values) ** 2))
     assert rmse0 < 0.1 * rp, rmse0
+
+
+def test_ragged_grids_sampling():
+    """Ragged batching also supports full NUTS (small budget smoke)."""
+    from bayes_drt_tpu.parallel import fit_spectra_ragged
+    d1 = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
+    d2 = pd.read_csv("/root/reference/data/simulated/Z_trunc_noiseless.csv")
+    spectra = [
+        (d1["Freq"].values, d1["Zreal"].values + 1j * d1["Zimag"].values),
+        (d2["Freq"].values, d2["Zreal"].values + 1j * d2["Zimag"].values),
+    ]
+    res = fit_spectra_ragged(spectra, mode="sample", chains=2, warmup=50,
+                             samples=50, max_tree_depth=6, random_seed=0)
+    assert res.coef.shape[0] == 2
+    assert np.isfinite(res.coef).all()
+    assert (res.gamma_hi >= res.gamma_lo - 1e-9).all()
