@@ -76,6 +76,16 @@ def ess(draws) -> np.ndarray:
     return out
 
 
+def e_bfmi(energy) -> float:
+    """Energy Bayesian fraction of missing information (Betancourt 2016):
+    Var(dE)/Var(E) per chain, averaged. Values < ~0.3 flag poor energy-set
+    exploration. energy: (chains, n) or (n,)."""
+    e = np.atleast_2d(np.asarray(energy, dtype=float))
+    num = np.mean(np.diff(e, axis=1) ** 2, axis=1)
+    den = np.var(e, axis=1)
+    return float(np.mean(num / np.where(den > 0, den, 1.0)))
+
+
 def summary(draws) -> dict:
     """Per-parameter posterior summary. draws: (chains, n, dim)."""
     x = np.asarray(draws)

@@ -806,6 +806,7 @@ class Inverter:
                 "wall_time_s": float(_t_solve),
                 # ESS/sec: the BASELINE.json headline sampling metric
                 "ess_per_sec": float(np.mean(ess) / max(_t_solve, 1e-9)),
+                "e_bfmi": mcmc_diagnostics.e_bfmi(np.asarray(info["energy"])),
             }
             if self.sample_diagnostics["divergence_rate"] > 0.1:
                 warnings.warn(

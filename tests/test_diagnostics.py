@@ -45,3 +45,14 @@ def test_summary_keys():
     s = summary(rng.standard_normal((2, 100, 5)))
     for k in ["mean", "sd", "q2.5", "q97.5", "rhat", "ess"]:
         assert s[k].shape == (5,)
+
+
+def test_e_bfmi():
+    from bayes_drt_tpu.infer.diagnostics import e_bfmi
+    rng = np.random.default_rng(5)
+    # iid energies -> BFMI ~ 2 (healthy)
+    e = rng.standard_normal((2, 2000))
+    assert 1.5 < e_bfmi(e) < 2.5
+    # slowly-drifting energies -> low BFMI (pathological)
+    slow = np.cumsum(rng.standard_normal((2, 2000)) * 0.05, axis=1)
+    assert e_bfmi(slow) < 0.3

@@ -66,3 +66,20 @@ def test_hmc_outlier_fit_experimental():
     assert (ghi >= glo - 1e-9).all()
     z_hat = inv.predict_Z(freq)
     assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.02
+
+
+def test_outliers_auto_detection_path():
+    """outliers='auto' flags corrupted points, switches to the outlier
+    model, and warns (reference: inversion.py:1172-1187)."""
+    df = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    Zc = Z.copy()
+    Zc[30] *= 1.0 + 0.6j
+    inv = Inverter()
+    with pytest.warns(UserWarning, match="outlier"):
+        inv.fit(freq, Zc, outliers="auto", nonneg=True, random_seed=0,
+                init_from_ridge=True, check_outliers=False)
+    assert inv.stan_model_name.endswith("_outliers")
+    so = np.asarray(inv.error_fit["sigma_out"])
+    assert np.argmax(so) == 30
