@@ -121,7 +121,7 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
     pow2 = jnp.left_shift(1, ks)
 
     def body(st):
-        (i, z, prop_q, prop_logp, logw, rho, q_ck, p_ck, rho_ck, first,
+        (i, z, prop_q, prop_logp, logw, rho, p_ck, rho_ck, first,
          turning, diverging, sum_acc) = st
         z_new = _leapfrog(value_and_grad, z, eps_signed, m_inv)
         H = -z_new.logp + _kinetic(z_new.p, m_inv)
@@ -139,9 +139,9 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
 
         first = jax.tree.map(lambda a, b: jnp.where(i == 0, a, b), z_new, first)
 
-        # store checkpoints for subtrees this leaf starts
+        # store checkpoints for subtrees this leaf starts (only momenta are
+        # needed by the U-turn checks; positions are not stored)
         start_mask = (jnp.mod(i, pow2) == 0) & (pow2 <= n_leaves_total)
-        q_ck = jnp.where(start_mask[:, None], z_new.q[None, :], q_ck)
         p_ck = jnp.where(start_mask[:, None], z_new.p[None, :], p_ck)
         rho_ck = jnp.where(start_mask[:, None], rho[None, :], rho_ck)
 
@@ -161,20 +161,20 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
         turning = jnp.logical_or(turning, jnp.any(turn_k & end_mask & (pow2 > 1)))
 
         sum_acc = sum_acc + jnp.minimum(1.0, jnp.exp(w))
-        return (i + 1, z_new, prop_q, prop_logp, logw_new, rho, q_ck, p_ck,
+        return (i + 1, z_new, prop_q, prop_logp, logw_new, rho, p_ck,
                 rho_ck, first, turning, jnp.logical_or(diverging, div), sum_acc)
 
     def cond(st):
         i = st[0]
-        turning, diverging = st[10], st[11]
+        turning, diverging = st[9], st[10]
         return (i < n_leaves_total) & (~turning) & (~diverging)
 
     zeros = jnp.zeros((kd, dim), z0.q.dtype)
     init = (jnp.asarray(0, jnp.int32), z0, z0.q, z0.logp,
             jnp.asarray(-jnp.inf, z0.q.dtype), jnp.zeros((dim,), z0.q.dtype),
-            zeros, zeros, zeros, z0, jnp.asarray(False), jnp.asarray(False),
+            zeros, zeros, z0, jnp.asarray(False), jnp.asarray(False),
             jnp.asarray(0.0, z0.q.dtype))
-    (i, z, prop_q, prop_logp, logw, rho, _, _, _, first, turning, diverging,
+    (i, z, prop_q, prop_logp, logw, rho, _, _, first, turning, diverging,
      sum_acc) = jax.lax.while_loop(cond, body, init)
     return _SubtreeResult(edge=z, first=first, prop_q=prop_q,
                           prop_logp=prop_logp, log_weight=logw, rho=rho,
