@@ -83,3 +83,24 @@ def test_hmc_tp_ddt_matches_reference_posterior():
                                    percentile=97.5)
     w_ref = np.mean(ref["gamma_hi"].values - ref["gamma_lo"].values)
     assert 0.3 * w_ref < np.mean(ghi - glo) < 3.0 * w_ref
+
+
+def test_credible_interval_calibration():
+    """95% CIs must not under-cover the true distribution across a batch of
+    noisy replicas (calibration of the whole batched-HMC pipeline)."""
+    import pandas as pd
+    from bayes_drt_tpu import sim
+    from bayes_drt_tpu.parallel import evaluate_gamma, fit_spectra_batch
+
+    freq, zb = sim.make_benchmark_batch(8, circuit="ZARC",
+                                        noise_level=0.0025, seed=7)
+    res = fit_spectra_batch(freq, zb, mode="sample", chains=2, warmup=150,
+                            samples=150, max_tree_depth=8, random_seed=11)
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    tau = gt["tau"].values
+    band = (tau > 1e-6) & (tau < 1e-1)
+    glo = evaluate_gamma(res, tau, "lo")[:, band]
+    ghi = evaluate_gamma(res, tau, "hi")[:, band]
+    truth = gt["gamma"].values[band][None, :]
+    coverage = ((truth >= glo) & (truth <= ghi)).mean()
+    assert coverage > 0.85, coverage
