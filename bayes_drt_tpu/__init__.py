@@ -18,6 +18,7 @@ A from-scratch rebuild of the capabilities of jdhuang-csm/bayes-drt
 from .inverter import Inverter
 from .ops.matrices import construct_A, construct_L, construct_M, get_tau_basis
 from .ops.basis import get_basis_func
+from . import ecm, sim
 
 __version__ = "0.1.0"
 
@@ -28,5 +29,7 @@ __all__ = [
     "construct_M",
     "get_tau_basis",
     "get_basis_func",
+    "ecm",
+    "sim",
     "__version__",
 ]
