@@ -58,8 +58,10 @@ def ess(draws) -> np.ndarray:
 
     out = np.empty(d)
     for j in range(d):
-        # Geyer initial monotone positive sequence
-        t = 1
+        # Geyer initial monotone positive sequence: pair (rho_0 + rho_1),
+        # (rho_2 + rho_3), ... — positivity/monotonicity hold only for this
+        # even-odd pairing
+        t = 0
         pair_sums = []
         while t + 1 < n:
             s = rho[t, j] + rho[t + 1, j]
@@ -70,7 +72,7 @@ def ess(draws) -> np.ndarray:
         # enforce monotone decrease
         for i in range(1, len(pair_sums)):
             pair_sums[i] = min(pair_sums[i], pair_sums[i - 1])
-        tau = 1.0 + 2.0 * sum(pair_sums)
+        tau = -1.0 + 2.0 * sum(pair_sums)
         tau = max(tau, 1.0 / np.log10(c * n + 10.0))
         out[j] = c * n / tau
     return out

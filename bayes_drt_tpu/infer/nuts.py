@@ -87,6 +87,8 @@ class _SubtreeResult(NamedTuple):
     first: _EdgeState         # innermost (first-generated) state
     prop_q: jax.Array
     prop_logp: jax.Array
+    prop_grad: jax.Array
+    prop_kin: jax.Array       # kinetic energy at the proposal leaf
     log_weight: jax.Array     # logsumexp of (H0 - H) over subtree leaves
     rho: jax.Array            # momentum sum over subtree
     turning: jax.Array
@@ -121,10 +123,11 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
     pow2 = jnp.left_shift(1, ks)
 
     def body(st):
-        (i, z, prop_q, prop_logp, logw, rho, p_ck, rho_ck, first,
-         turning, diverging, sum_acc) = st
+        (i, z, prop_q, prop_logp, prop_grad, prop_kin, logw, rho, p_ck,
+         rho_ck, first, turning, diverging, sum_acc) = st
         z_new = _leapfrog(value_and_grad, z, eps_signed, m_inv)
-        H = -z_new.logp + _kinetic(z_new.p, m_inv)
+        kin = _kinetic(z_new.p, m_inv)
+        H = -z_new.logp + kin
         w = H0 - H                       # log multinomial weight vs initial
         w = jnp.where(jnp.isnan(H), -jnp.inf, w)
         div = (H - H0) > max_energy_error
@@ -136,6 +139,8 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
         take = jnp.log(u) < (w - logw_new)
         prop_q = jnp.where(take, z_new.q, prop_q)
         prop_logp = jnp.where(take, z_new.logp, prop_logp)
+        prop_grad = jnp.where(take, z_new.grad, prop_grad)
+        prop_kin = jnp.where(take, kin, prop_kin)
 
         first = jax.tree.map(lambda a, b: jnp.where(i == 0, a, b), z_new, first)
 
@@ -161,23 +166,26 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
         turning = jnp.logical_or(turning, jnp.any(turn_k & end_mask & (pow2 > 1)))
 
         sum_acc = sum_acc + jnp.minimum(1.0, jnp.exp(w))
-        return (i + 1, z_new, prop_q, prop_logp, logw_new, rho, p_ck,
-                rho_ck, first, turning, jnp.logical_or(diverging, div), sum_acc)
+        return (i + 1, z_new, prop_q, prop_logp, prop_grad, prop_kin,
+                logw_new, rho, p_ck, rho_ck, first, turning,
+                jnp.logical_or(diverging, div), sum_acc)
 
     def cond(st):
         i = st[0]
-        turning, diverging = st[9], st[10]
+        turning, diverging = st[11], st[12]
         return (i < n_leaves_total) & (~turning) & (~diverging)
 
     zeros = jnp.zeros((kd, dim), z0.q.dtype)
-    init = (jnp.asarray(0, jnp.int32), z0, z0.q, z0.logp,
+    init = (jnp.asarray(0, jnp.int32), z0, z0.q, z0.logp, z0.grad,
+            _kinetic(z0.p, m_inv),
             jnp.asarray(-jnp.inf, z0.q.dtype), jnp.zeros((dim,), z0.q.dtype),
             zeros, zeros, z0, jnp.asarray(False), jnp.asarray(False),
             jnp.asarray(0.0, z0.q.dtype))
-    (i, z, prop_q, prop_logp, logw, rho, _, _, first, turning, diverging,
-     sum_acc) = jax.lax.while_loop(cond, body, init)
+    (i, z, prop_q, prop_logp, prop_grad, prop_kin, logw, rho, _, _, first,
+     turning, diverging, sum_acc) = jax.lax.while_loop(cond, body, init)
     return _SubtreeResult(edge=z, first=first, prop_q=prop_q,
-                          prop_logp=prop_logp, log_weight=logw, rho=rho,
+                          prop_logp=prop_logp, prop_grad=prop_grad,
+                          prop_kin=prop_kin, log_weight=logw, rho=rho,
                           turning=turning, diverging=diverging,
                           sum_accept=sum_acc, n_leaves=i)
 
@@ -201,8 +209,8 @@ def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
     z0 = _EdgeState(q=q, p=p0, grad=grad, logp=logp)
 
     def body(st):
-        (depth, z_minus, z_plus, prop_q, prop_logp, logw, rho, turning,
-         diverging, sum_acc, n_leaves, key) = st
+        (depth, z_minus, z_plus, prop_q, prop_logp, prop_grad, prop_kin,
+         logw, rho, turning, diverging, sum_acc, n_leaves, key) = st
         key, key_dir, key_sub, key_swap = jax.random.split(key, 4)
         go_right = jax.random.bernoulli(key_dir)
         edge = jax.tree.map(lambda a, b: jnp.where(go_right, a, b),
@@ -219,6 +227,8 @@ def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
         accept_sub = ok & swap
         prop_q = jnp.where(accept_sub, sub.prop_q, prop_q)
         prop_logp = jnp.where(accept_sub, sub.prop_logp, prop_logp)
+        prop_grad = jnp.where(accept_sub, sub.prop_grad, prop_grad)
+        prop_kin = jnp.where(accept_sub, sub.prop_kin, prop_kin)
         logw = jnp.where(ok, jnp.logaddexp(logw, sub.log_weight), logw)
 
         # merge edges/rho only when the subtree is valid
@@ -250,25 +260,28 @@ def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
         rho = jnp.where(ok, rho_new, rho)
         turning = jnp.logical_or(sub.turning, ok & merged_turn)
         diverging = jnp.logical_or(diverging, sub.diverging)
-        return (depth + 1, z_minus, z_plus, prop_q, prop_logp, logw, rho,
-                turning, diverging, sum_acc, n_leaves, key)
+        return (depth + 1, z_minus, z_plus, prop_q, prop_logp, prop_grad,
+                prop_kin, logw, rho, turning, diverging, sum_acc, n_leaves,
+                key)
 
     def cond(st):
-        depth, turning, diverging = st[0], st[7], st[8]
+        depth, turning, diverging = st[0], st[9], st[10]
         return (depth < max_depth) & (~turning) & (~diverging)
 
-    init = (jnp.asarray(0, jnp.int32), z0, z0, q, logp,
+    init = (jnp.asarray(0, jnp.int32), z0, z0, q, logp, grad,
+            _kinetic(p0, m_inv),
             jnp.asarray(0.0, q.dtype), p0, jnp.asarray(False),
             jnp.asarray(False), jnp.asarray(0.0, q.dtype),
             jnp.asarray(0, jnp.int32), key_tree)
-    (depth, _, _, prop_q, prop_logp, _, _, _, diverging, sum_acc,
-     n_leaves, _) = jax.lax.while_loop(cond, body, init)
+    (depth, _, _, prop_q, prop_logp, prop_grad, prop_kin, _, _, _,
+     diverging, sum_acc, n_leaves, _) = jax.lax.while_loop(cond, body, init)
 
     accept_prob = sum_acc / jnp.maximum(n_leaves, 1)
-    _, grad_new = value_and_grad(prop_q)
+    # energy of the accepted state (Stan's energy__), for E-BFMI diagnostics
+    energy = -prop_logp + prop_kin
     info = NUTSInfo(accept_prob=accept_prob, diverging=diverging,
-                    n_leapfrog=n_leaves, energy=H0, tree_depth=depth)
-    return prop_q, prop_logp, grad_new, info
+                    n_leapfrog=n_leaves, energy=energy, tree_depth=depth)
+    return prop_q, prop_logp, prop_grad, info
 
 
 def find_reasonable_step_size(value_and_grad, q, logp, grad, key, m_inv,

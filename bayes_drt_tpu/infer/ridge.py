@@ -201,7 +201,7 @@ class RidgeResult(NamedTuple):
 
 
 def _lambda_step(cfg: HyperLambdaConfig, data: RidgeData, state: HyperLambdaState,
-                 hl_fbeta, lambda_0_scalar, sb, alpha_a, beta_a, n_basis):
+                 hl_fbeta, lambda_0_scalar):
     """One analytic lambda update for all three orders
     (reference: inversion.py:631-691)."""
     coef_eff = state.coef / state.dZ_re
@@ -220,7 +220,10 @@ def _lambda_step(cfg: HyperLambdaConfig, data: RidgeData, state: HyperLambdaStat
         if cfg.use_fbeta:
             lv = hyper_lambda_fbeta(data.L_ops[n], coef_eff, hl_fbeta, lambda_0_scalar)
         elif cfg.use_lm:
-            lv = hyper_lambda_lm(data.L_ops[n], coef_eff,
+            # the reference's LM branch uses the raw coefficients, without
+            # the dZ division applied by the analytic branches
+            # (inversion.py:650-670)
+            lv = hyper_lambda_lm(data.L_ops[n], state.coef,
                                  lam_prev[cfg.n_fixed:],
                                  hyper_beta[n, cfg.n_fixed:],
                                  lambda_0_scalar)
@@ -325,8 +328,7 @@ def run_hyper_lambda(cfg: HyperLambdaConfig, data: RidgeData, x0,
             h_as = jnp.where(state.it > 0, new_as, h_as)
 
         state = state._replace(dZ_re=dZ_re, hyper_as=h_as, hyper_bs=h_bs)
-        lam_new = _lambda_step(cfg, data, state, hl_fbeta, lambda_0,
-                               sb, alpha_a, beta_a, n_basis)
+        lam_new = _lambda_step(cfg, data, state, hl_fbeta, lambda_0)
         L2_mat = build_l2_matrix(data, lam_new, dZ_re)
         P, q = assemble_qp(cfg.part, data, L2_mat)
         coef = solve_qp_box(P, q, data.lb, data.ub, max_iter=cfg.qp_iter).x
@@ -405,7 +407,10 @@ def run_hyper_weights(part: str, data: RidgeData, A_re, A_im, T_re, T_im,
     init = (coef0, wbar_re, wbar_im, jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, dtype))
     coef, w_re, w_im, it, delta = jax.lax.while_loop(cond, body, init)
-    _, P, q = solve_with(w_re, w_im)
+    d_final = data._replace(WA_re=w_re[:, None] * A_re,
+                            WA_im=w_im[:, None] * A_im,
+                            WT_re=w_re * T_re, WT_im=w_im * T_im)
+    P, q = assemble_qp(part, d_final, L2_mat)
     cost = 0.5 * coef @ (P @ coef) + q @ coef
     return RidgeResult(coef=coef, lam_vectors=lam, cost=cost, n_iter=it,
                        converged=delta < xtol, weights_re=w_re, weights_im=w_im)

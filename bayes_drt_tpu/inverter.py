@@ -433,7 +433,15 @@ class Inverter:
                 M = np.zeros((k, k))
                 M[n_fixed:, n_fixed:] = mats[f"M{order}"]
                 L2_base.append(M)
-            L_ops = np.zeros((3, kb, k))
+            if penalty == "cholesky":
+                # the discrete-form lambda updates use the Cholesky factors
+                # of M as L (reference: inversion.py:2314-2317, 632-648)
+                L_ops = np.array([
+                    np.concatenate([np.zeros((kb, n_fixed)), mats[f"L{order}"]],
+                                   axis=1)
+                    for order in (0, 1, 2)])
+            else:
+                L_ops = np.zeros((3, kb, k))
         else:
             L_ops = []
             L2_base = []

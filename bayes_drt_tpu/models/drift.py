@@ -198,7 +198,8 @@ def predict_drift_target(cfg: DriftConfig, data: DriftData, c: dict):
         if m == "dx-lin":
             rinf_t = c["Rinf_0"] + c["delta_Rinf"] * (t / data.t_max)
         else:
-            rinf_t = c["Rinf_0"] + c["delta_Rinf"] * (1.0 - jnp.exp(-t / c["tau_Rinf"]))
+            rinf_t = (c["Rinf_0"]
+                      + c["delta_Rinf"] * (1.0 - jnp.exp(-t / c["tau_Rinf"])))
     else:
         x_static = c["x1"] if m.endswith("from-final") else c["x0"]
         zr = data.A_re @ x_static
@@ -267,7 +268,6 @@ def drift_log_density(cfg: DriftConfig, data: DriftData, p: dict,
         lp = lp + std_normal_lpdf(jnp.exp(p["R_rq_raw"]))
 
     for nm in _coef_vector_names(cfg):
-        x = c[nm] if not (nm in ("x0", "x1") and pos_x) else c[nm]
         x_raw = c[nm]
         ds = c[f"d_strength_{nm}"]
         lp = lp + inv_gamma_lpdf(ds, 5.0, 5.0)

@@ -140,7 +140,9 @@ def init_unconstrained(cfg: PosteriorConfig, data: PosteriorData, key,
         for i, d in enumerate(cfg.dists):
             key_i = f"x_{i}"
             if key_i in iv:
-                x0 = jnp.asarray(iv[key_i])
+                # constrain() applies x = x_raw * x_scale, so invert the
+                # scale here as well as the exp transform
+                x0 = jnp.asarray(iv[key_i]) / data.x_scales[i]
                 if _x_is_positive(cfg, d):
                     params[key_i] = jnp.log(jnp.clip(x0, 1e-10, None))
                 else:
