@@ -44,6 +44,9 @@ class NUTSConfig(NamedTuple):
     dense_mass: bool = False      # dense (full covariance) metric; cuts
                                   # trajectory lengths ~5-7x on the funnel-like
                                   # DRT posterior (Stan's dense_e analogue)
+    adapt_mass: bool = True       # False: keep the initial/passed-in metric
+                                  # fixed and adapt only the step size (used
+                                  # with a precomputed pooled-batch metric)
 
 
 class _EdgeState(NamedTuple):
@@ -123,10 +126,14 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
     pow2 = jnp.left_shift(1, ks)
 
     def body(st):
-        (i, z, prop_q, prop_logp, prop_grad, prop_kin, logw, rho, p_ck,
+        (i, z, prop_q, prop_logp, prop_grad, prop_kin, logw, rho, v_ck,
          rho_ck, first, turning, diverging, sum_acc) = st
         z_new = _leapfrog(value_and_grad, z, eps_signed, m_inv)
-        kin = _kinetic(z_new.p, m_inv)
+        # velocity computed ONCE per leapfrog and reused for the kinetic
+        # energy, the end-point U-turn check, and the stored checkpoint
+        # (for a dense metric this saves kd matvecs per step)
+        v_new = _vel(z_new.p, m_inv)
+        kin = 0.5 * jnp.dot(z_new.p, v_new)
         H = -z_new.logp + kin
         w = H0 - H                       # log multinomial weight vs initial
         w = jnp.where(jnp.isnan(H), -jnp.inf, w)
@@ -144,10 +151,11 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
 
         first = jax.tree.map(lambda a, b: jnp.where(i == 0, a, b), z_new, first)
 
-        # store checkpoints for subtrees this leaf starts (only momenta are
-        # needed by the U-turn checks; positions are not stored)
+        # store checkpoints for subtrees this leaf starts (only start
+        # VELOCITIES are needed by the U-turn checks; positions and momenta
+        # are not stored)
         start_mask = (jnp.mod(i, pow2) == 0) & (pow2 <= n_leaves_total)
-        p_ck = jnp.where(start_mask[:, None], z_new.p[None, :], p_ck)
+        v_ck = jnp.where(start_mask[:, None], v_new[None, :], v_ck)
         rho_ck = jnp.where(start_mask[:, None], rho[None, :], rho_ck)
 
         rho = rho + z_new.p
@@ -155,19 +163,14 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
         # check U-turns for subtrees this leaf completes
         end_mask = (jnp.mod(i + 1, pow2) == 0) & (pow2 <= n_leaves_total)
         rho_subs = rho[None, :] - rho_ck                     # (kd, dim)
-        if m_inv.ndim == 2:
-            v_starts = p_ck @ m_inv.T
-        else:
-            v_starts = m_inv[None, :] * p_ck
-        v_end = _vel(z_new.p, m_inv)
         turn_k = jnp.logical_or(
-            jnp.einsum("kd,kd->k", v_starts, rho_subs) <= 0.0,
-            rho_subs @ v_end <= 0.0)
+            jnp.einsum("kd,kd->k", v_ck, rho_subs) <= 0.0,
+            rho_subs @ v_new <= 0.0)
         turning = jnp.logical_or(turning, jnp.any(turn_k & end_mask & (pow2 > 1)))
 
         sum_acc = sum_acc + jnp.minimum(1.0, jnp.exp(w))
         return (i + 1, z_new, prop_q, prop_logp, prop_grad, prop_kin,
-                logw_new, rho, p_ck, rho_ck, first, turning,
+                logw_new, rho, v_ck, rho_ck, first, turning,
                 jnp.logical_or(diverging, div), sum_acc)
 
     def cond(st):
@@ -373,23 +376,42 @@ def _da_update(da: _DAState, accept_prob, cfg: NUTSConfig):
 @partial(jax.jit, static_argnames=("logp_fn", "warmup", "samples", "cfg"))
 def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
                 samples: int = 200, cfg: NUTSConfig = NUTSConfig(),
-                init_step_size: float = 1.0):
+                init_step_size: float = 1.0, metric=None):
     """Run one NUTS chain: warmup with step-size + diag-mass adaptation, then
     sampling. Returns (draws (samples, D), info dict of stacked per-draw
     diagnostics). vmap over q0/key for multiple chains/spectra.
+
+    ``metric``: optional precomputed inverse mass matrix — a (D,) variance
+    vector or a (D, D) covariance (pass ``(m_inv, cholesky(m_inv))`` for
+    dense). With ``cfg.adapt_mass=False`` it stays fixed and only the step
+    size adapts; closing a SHARED metric over a vmapped call keeps it
+    unbatched (one matrix for the whole batch → MXU matmuls, no per-element
+    metric traffic).
     """
     value_and_grad = jax.value_and_grad(logp_fn)
     dim = q0.shape[0]
     dtype = q0.dtype
     total = warmup + samples
 
-    in_slow_np, win_end_np = _window_flags(warmup, cfg)
+    if cfg.adapt_mass:
+        in_slow_np, win_end_np = _window_flags(warmup, cfg)
+    else:
+        in_slow_np = np.zeros(warmup, bool)
+        win_end_np = np.zeros(warmup, bool)
     in_slow = jnp.asarray(np.concatenate([in_slow_np, np.zeros(samples, bool)]))
     win_end = jnp.asarray(np.concatenate([win_end_np, np.zeros(samples, bool)]))
     in_warm = jnp.asarray(np.arange(total) < warmup)
 
     logp0, grad0 = value_and_grad(q0)
-    if cfg.dense_mass:
+    if metric is not None:
+        if isinstance(metric, (tuple, list)):
+            m_inv0 = jnp.asarray(metric[0], dtype)
+            chol0 = jnp.asarray(metric[1], dtype)
+        else:
+            m_inv0 = jnp.asarray(metric, dtype)
+            chol0 = (jnp.linalg.cholesky(m_inv0) if m_inv0.ndim == 2
+                     else jnp.zeros((0,), dtype))
+    elif cfg.dense_mass:
         m_inv0 = jnp.eye(dim, dtype=dtype)
         chol0 = jnp.eye(dim, dtype=dtype)
     else:
@@ -401,10 +423,15 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
                                      mass_chol=chol0)
     da0 = _da_init(eps0, dtype)
 
-    # Welford accumulator: variance vector (diag) or full covariance (dense)
-    m2_shape = (dim, dim) if cfg.dense_mass else (dim,)
-    wf0 = (jnp.zeros((dim,), dtype), jnp.zeros(m2_shape, dtype),
-           jnp.zeros((), dtype))
+    # Welford accumulator: variance vector (diag) or full covariance (dense);
+    # empty when the metric is fixed (no accumulation state to carry)
+    if cfg.adapt_mass:
+        m2_shape = (dim, dim) if cfg.dense_mass else (dim,)
+        wf0 = (jnp.zeros((dim,), dtype), jnp.zeros(m2_shape, dtype),
+               jnp.zeros((), dtype))
+    else:
+        wf0 = (jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
+               jnp.zeros((), dtype))
 
     def welford_add(wf, x):
         mean, m2, n = wf
@@ -430,6 +457,9 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
 
         da_new = _da_update(da, info.accept_prob, cfg)
         da = jax.tree.map(lambda n, o: jnp.where(is_warm, n, o), da_new, da)
+
+        if not cfg.adapt_mass:
+            return (q, logp, grad, da, wf, m_inv, chol, key), info
 
         wf_new = welford_add(wf, q)
         wf = jax.tree.map(lambda n, o: jnp.where(slow, n, o), wf_new, wf)

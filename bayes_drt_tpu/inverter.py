@@ -685,9 +685,15 @@ class Inverter:
             outlier_lambda=None, mode="optimize", random_seed=1234,
             max_iter=4000, warmup=200, samples=200, chains=2,
             fitY=False, SA=False, SASY=False, n_restarts=2,
-            max_tree_depth=10, adapt_delta=0.9):
+            max_tree_depth=10, adapt_delta=0.9, ncp=False):
         """MAP (mode='optimize') or full HMC (mode='sample') fit of the
-        calibrated hierarchical Bayesian model."""
+        calibrated hierarchical Bayesian model.
+
+        ``ncp=True`` (sample mode) samples the coefficient vectors in a
+        non-centered parameterization (x = ups * z with the matching
+        Jacobian) — a pure change of variables targeting the SAME
+        posterior, which removes the ups->x funnel and substantially
+        improves mixing (lower split-Rhat) at short chain budgets."""
         if SA or SASY:
             raise ValueError("The SA/SASY row-scaling experiments are marked "
                              "'for testing only' in the reference "
@@ -735,7 +741,7 @@ class Inverter:
             self.distributions, dist_mat, frequencies, Z_scaled, mode=mode,
             part=part, nonneg=nonneg, outliers=bool(outliers), fitY=fitY,
             sigma_min=sigma_min, inductance_scale=inductance_scale,
-            outlier_lambda=outlier_lambda)
+            outlier_lambda=outlier_lambda, ncp=ncp and mode == "sample")
         self.stan_model_name = cfg.model_name()
         self._posterior = (cfg, data)
         if cfg.model_name().startswith("Series-Parallel") and not nonneg:

@@ -57,7 +57,7 @@ def build_posterior(distributions: dict, dist_matrices: dict, frequencies,
                     nonneg: bool = False, outliers: bool = False,
                     fitY: bool = False, sigma_min: float = 0.002,
                     inductance_scale: float = 1.0, outlier_lambda=None,
-                    dtype=jnp.float64):
+                    dtype=jnp.float64, ncp: bool = False):
     """Returns (PosteriorConfig, PosteriorData).
 
     ``Z_scaled``: complex impedance AFTER Z-scaling (reference applies
@@ -131,7 +131,7 @@ def build_posterior(distributions: dict, dist_matrices: dict, frequencies,
         sigma_out_alpha = 2.0
 
     cfg = PosteriorConfig(dists=tuple(dist_cfgs), nonneg=nonneg,
-                          outliers=outliers, fitY=fitY, part=part)
+                          outliers=outliers, fitY=fitY, part=part, ncp=ncp)
     data = PosteriorData(
         A=tuple(A_list), L=tuple(L_list),
         target=jnp.asarray(target, dtype=dtype),

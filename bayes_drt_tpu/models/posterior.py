@@ -49,6 +49,12 @@ class PosteriorConfig(NamedTuple):
     outliers: bool = False
     fitY: bool = False
     part: str = "both"      # 'both' | 'real' | 'imag' (likelihood mask)
+    ncp: bool = False       # non-centered coefficients: sample z with
+                            # x = ups * z (elementwise; log-additive for
+                            # nonneg), log|J| = sum(log ups). A pure change
+                            # of variables — the posterior over (x, ups, ...)
+                            # is IDENTICAL — that removes the multiplicative
+                            # ups->x funnel the centered form gives NUTS.
 
     @property
     def n_series(self):
@@ -141,12 +147,14 @@ def init_unconstrained(cfg: PosteriorConfig, data: PosteriorData, key,
             key_i = f"x_{i}"
             if key_i in iv:
                 # constrain() applies x = x_raw * x_scale, so invert the
-                # scale here as well as the exp transform
+                # scale here as well as the exp (and ncp) transforms
                 x0 = jnp.asarray(iv[key_i]) / data.x_scales[i]
+                ups_i = jnp.exp(params[f"ups_raw_{i}"]) * 0.15
                 if _x_is_positive(cfg, d):
-                    params[key_i] = jnp.log(jnp.clip(x0, 1e-10, None))
+                    u0 = jnp.log(jnp.clip(x0, 1e-10, None))
+                    params[key_i] = u0 - jnp.log(ups_i) if cfg.ncp else u0
                 else:
-                    params[key_i] = x0
+                    params[key_i] = x0 / ups_i if cfg.ncp else x0
         if "sigma_out_raw" in iv and cfg.outliers:
             params["sigma_out_raw"] = jnp.log(jnp.clip(jnp.asarray(iv["sigma_out_raw"]),
                                                        1e-10, None))
@@ -164,12 +172,16 @@ def constrain(cfg: PosteriorConfig, data: PosteriorData, params: dict) -> dict:
         out["Rinf"] = jnp.zeros(())
         out["induc"] = jnp.zeros(())
     for i, d in enumerate(cfg.dists):
+        ups = jnp.exp(params[f"ups_raw_{i}"]) * 0.15
+        out[f"ups_{i}"] = ups
+        out[f"d_strength_{i}"] = jnp.exp(params[f"d_strength_{i}"])
         u = params[f"x_{i}"]
-        x_raw = jnp.exp(u) if _x_is_positive(cfg, d) else u
+        if _x_is_positive(cfg, d):
+            x_raw = jnp.exp(u) * ups if cfg.ncp else jnp.exp(u)
+        else:
+            x_raw = u * ups if cfg.ncp else u
         out[f"x_raw_{i}"] = x_raw
         out[f"x_{i}"] = x_raw * data.x_scales[i]
-        out[f"ups_{i}"] = jnp.exp(params[f"ups_raw_{i}"]) * 0.15
-        out[f"d_strength_{i}"] = jnp.exp(params[f"d_strength_{i}"])
     out["sigma_res"] = jnp.exp(params["sigma_res_raw"]) * 0.05
     out["alpha_prop"] = jnp.exp(params["alpha_prop_raw"]) * 0.05
     out["alpha_re"] = jnp.exp(params["alpha_re_raw"]) * 0.05
@@ -232,6 +244,12 @@ def log_density(cfg: PosteriorConfig, data: PosteriorData, params: dict,
                 if not _x_is_positive(cfg, cfg.dists[i]):
                     continue
             lp = lp + jnp.sum(u)
+        if cfg.ncp:
+            # x = ups * z (free sign: dx/dz = ups) or x = exp(u) * ups
+            # (positive: the sum(u) above covers d exp(u), leaving the
+            # same extra sum(log ups) factor)
+            for i in range(len(cfg.dists)):
+                lp = lp + jnp.sum(jnp.log(c[f"ups_{i}"]))
 
     # priors on raw scalars (reference: Series_modelcode.txt:55-69)
     if not cfg.fitY:

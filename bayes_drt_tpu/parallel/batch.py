@@ -72,7 +72,7 @@ def _cpu_context():
 
 
 def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
-                  nonneg=False, dtype=None, distributions=None):
+                  nonneg=False, dtype=None, distributions=None, ncp=False):
     """Shared per-batch setup: matrices at the common frequency grid for an
     arbitrary distributions dict (default: single series DRT)."""
     if dtype is None:
@@ -121,7 +121,7 @@ def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
 
     z_dummy = np.ones(len(frequencies)) + 0j   # replaced per spectrum via vmap
     cfg, data = build_posterior(distributions, dist_mats, frequencies, z_dummy,
-                                mode=mode, nonneg=nonneg, dtype=dtype)
+                                mode=mode, nonneg=nonneg, dtype=dtype, ncp=ncp)
     return frequencies, first_tau, first_eps, cfg, data
 
 
@@ -131,7 +131,9 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       max_iter: int = 2000, n_restarts: int = 2,
                       random_seed: int = 0, mesh: Optional[Mesh] = None,
                       max_tree_depth: int = 10, dtype=None,
-                      distributions=None) -> BatchFitResult:
+                      distributions=None, precondition: Optional[str] = None,
+                      pilot_warmup: int = 50, pilot_samples: int = 25,
+                      ncp: bool = False) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
     Z_batch: complex array (B, N). mode='sample' runs ``chains`` NUTS chains
@@ -141,6 +143,18 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     (default: single series DRT); for multi-distribution fits the returned
     ``coef`` holds the first distribution, with the others under
     ``diagnostics['coef_<i>']`` (scaled-space).
+
+    ``precondition='pooled'`` (sample mode): run a short diagonal-metric
+    pilot, POOL the pilot draws across every spectrum and chain in the batch
+    (centering per chain, so only within-posterior covariance pools) to
+    estimate one full-rank dense metric shared by the whole batch, then
+    sample with that fixed metric, warm-starting each chain from its pilot
+    state. The pooling sidesteps the n_draws >> dim requirement a per-chain
+    dense adaptation would have: B*chains*pilot_samples draws estimate one
+    (D, D) covariance. Best suited to batches of spectra with similar
+    posterior geometry (replicates, parameter sweeps, time series); the
+    pilot budget is taken out of ``warmup``, so the total NUTS iterations
+    per chain stay warmup+samples.
     """
     Z_batch = np.asarray(Z_batch)
     Z_batch, b_real = _pad_pow2(Z_batch)
@@ -149,7 +163,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     frequencies, tau, eps, cfg, data = _build_shared(
         frequencies, basis_freq, epsilon, mode="sample" if mode == "sample" else "optimize",
-        nonneg=nonneg, dtype=dtype, distributions=distributions)
+        nonneg=nonneg, dtype=dtype, distributions=distributions,
+        ncp=ncp and mode == "sample")
     n_dists = len(cfg.dists)
 
     # per-spectrum scaling (reference: inversion.py:2437-2441)
@@ -170,17 +185,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     if mode == "sample":
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth)
 
-        def fit_one(target, skey):
-            logp = logp_for(target)
-
-            def one_chain(ckey):
-                k_init, k_run = jax.random.split(ckey)
-                p0 = init_unconstrained(cfg, data._replace(target=target), k_init)
-                q0, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
-                return sample_nuts(logp, q0, k_run, warmup=warmup,
-                                   samples=samples, cfg=nuts_cfg)
-
-            draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains))
+        def summarize(draws, info):
             flat = draws.reshape(-1, draws.shape[-1])
             xs = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["x_0"])(flat)
             rinf = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["Rinf"])(flat)
@@ -210,6 +215,19 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 xi = jax.vmap(lambda q: constrain(cfg, data, unravel(q))[f"x_{i}"])(flat)
                 out[f"coef_{i}"] = xi.mean(axis=0)
             return out
+
+        def fit_one(target, skey):
+            logp = logp_for(target)
+
+            def one_chain(ckey):
+                k_init, k_run = jax.random.split(ckey)
+                p0 = init_unconstrained(cfg, data._replace(target=target), k_init)
+                q0, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
+                return sample_nuts(logp, q0, k_run, warmup=warmup,
+                                   samples=samples, cfg=nuts_cfg)
+
+            draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains))
+            return summarize(draws, info)
     else:
         def fit_one(target, skey):
             logp = logp_for(target)
@@ -237,15 +255,89 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 out[f"coef_{i}"] = c[f"x_{i}"]
             return out
 
+    extra_args = ()
+    if mode == "sample" and precondition == "pooled":
+        # ---- stage 1: short diagonal-metric pilot over the whole batch ----
+        def pilot_one(target, skey):
+            logp = logp_for(target)
+
+            def one_chain(ckey):
+                k_init, k_run = jax.random.split(ckey)
+                p0 = init_unconstrained(cfg, data._replace(target=target), k_init)
+                q0, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
+                draws, _ = sample_nuts(logp, q0, k_run, warmup=pilot_warmup,
+                                       samples=pilot_samples, cfg=nuts_cfg)
+                return draws
+
+            return jax.vmap(one_chain)(jax.random.split(skey, chains))
+
+        pilot_fn = jax.jit(jax.vmap(pilot_one))
+        if mesh is not None:
+            sh = NamedSharding(mesh, P("spectra", None))
+            targets = jax.device_put(targets, sh)
+            spectrum_keys = jax.device_put(spectrum_keys, sh)
+            pilot_fn = jax.jit(jax.vmap(pilot_one),
+                               out_shardings=NamedSharding(mesh, P("spectra")))
+        pilot = pilot_fn(targets, spectrum_keys)
+        q0_main = pilot[:, :, -1, :]
+
+        # ---- pooled within-chain covariance -> one shared dense metric ----
+        # centering per (spectrum, chain) removes the between-spectra mean
+        # scatter, so only within-posterior covariance pools; the cholesky
+        # runs in float64 on the host for stability
+        d64 = np.asarray(pilot, np.float64)
+        centered = d64 - d64.mean(axis=2, keepdims=True)
+        flat_d = centered.reshape(-1, d64.shape[-1])
+        dof = max(d64.shape[0] * d64.shape[1] * (d64.shape[2] - 1), 1)
+        cov = flat_d.T @ flat_d / dof
+        dim = cov.shape[0]
+        jitter = max(1e-6 * float(np.mean(np.diag(cov))), 1e-12)
+        for _ in range(8):
+            try:
+                chol64 = np.linalg.cholesky(cov + jitter * np.eye(dim))
+                break
+            except np.linalg.LinAlgError:
+                jitter *= 10.0
+        else:
+            raise RuntimeError("pooled pilot covariance is not positive "
+                               "definite; use precondition=None")
+        m_inv_j = jnp.asarray(cov + jitter * np.eye(dim), dtype)
+        chol_j = jnp.asarray(chol64, dtype)
+
+        main_warmup = max(20, warmup - pilot_warmup - pilot_samples)
+        main_cfg = NUTSConfig(max_depth=max_tree_depth, adapt_mass=False)
+
+        def fit_one(target, skey, q0c):    # noqa: F811 — pooled-path override
+            logp = logp_for(target)
+
+            def one_chain(ckey, q0):
+                # the shared metric is closed over, NOT vmapped: one (D, D)
+                # matrix for the whole batch, so velocity updates become MXU
+                # matmuls with no per-element metric traffic
+                return sample_nuts(logp, q0, ckey, warmup=main_warmup,
+                                   samples=samples, cfg=main_cfg,
+                                   metric=(m_inv_j, chol_j))
+
+            draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains),
+                                              q0c)
+            return summarize(draws, info)
+
+        spectrum_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(spectrum_keys)
+        extra_args = (q0_main,)
+
     batched = jax.jit(jax.vmap(fit_one))
     if mesh is not None:
         spec = NamedSharding(mesh, P("spectra"))
         targets = jax.device_put(targets, NamedSharding(mesh, P("spectra", None)))
         spectrum_keys = jax.device_put(spectrum_keys,
                                        NamedSharding(mesh, P("spectra", None)))
+        extra_args = tuple(
+            jax.device_put(a, NamedSharding(mesh, P(*(["spectra"]
+                                                      + [None] * (a.ndim - 1)))))
+            for a in extra_args)
         batched = jax.jit(jax.vmap(fit_one), out_shardings=spec)
 
-    out = batched(targets, spectrum_keys)
+    out = batched(targets, spectrum_keys, *extra_args)
     out = {k: np.asarray(v)[:b_real] for k, v in out.items()}
     z_scales = z_scales[:b_real]
 

@@ -105,3 +105,36 @@ def test_dense_mass_correlated_gaussian():
     n_dense = float(np.asarray(info["n_leapfrog"]).mean())
     n_diag = float(np.asarray(info2["n_leapfrog"]).mean())
     assert n_dense < 0.7 * n_diag, (n_dense, n_diag)
+
+
+def test_fixed_metric_step_size_only():
+    """A precomputed dense metric with adapt_mass=False: trajectories
+    collapse to near-isotropic lengths and moments stay correct."""
+    d = 12
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((d, d))
+    cov = A @ A.T + 0.05 * np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(q):
+        return -0.5 * q @ (prec @ q)
+
+    chol = np.linalg.cholesky(cov)
+    cfg = NUTSConfig(adapt_mass=False)
+    draws, info = sample_nuts(logp, jnp.zeros(d), jax.random.PRNGKey(9),
+                              warmup=150, samples=1000, cfg=cfg,
+                              metric=(jnp.asarray(cov), jnp.asarray(chol)))
+    draws = np.asarray(draws)
+    est_cov = np.cov(draws.T)
+    rel_f = np.linalg.norm(est_cov - cov) / np.linalg.norm(cov)
+    assert rel_f < 0.3, rel_f
+    # with the exact covariance as metric, the target is isotropic:
+    # trajectories should be very short
+    assert float(np.asarray(info["n_leapfrog"]).mean()) < 20
+
+    # diagonal fixed metric variant: variance vector
+    var = np.diag(cov).copy()
+    draws2, info2 = sample_nuts(logp, jnp.zeros(d), jax.random.PRNGKey(9),
+                                warmup=150, samples=500, cfg=cfg,
+                                metric=jnp.asarray(var))
+    assert float(np.asarray(info2["diverging"]).mean()) < 0.02

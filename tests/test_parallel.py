@@ -152,3 +152,22 @@ def test_ragged_grids_sampling():
     assert res.coef.shape[0] == 2
     assert np.isfinite(res.coef).all()
     assert (res.gamma_hi >= res.gamma_lo - 1e-9).all()
+
+
+def test_pooled_preconditioned_batch_matches():
+    """precondition='pooled' must give the same posterior (within MC error)
+    as the plain diagonal-adaptation path, with zero/low divergences."""
+    freq, Zb = load_batch(b=4, noise=0.002)
+    gtdf = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    gt = gtdf["gamma"].values
+    tau = gtdf["tau"].values
+    rp = np.trapezoid(gt, np.log(tau))
+
+    res = fit_spectra_batch(freq, Zb, mode="sample", chains=2, warmup=150,
+                            samples=100, max_tree_depth=6, random_seed=1,
+                            precondition="pooled", pilot_warmup=50,
+                            pilot_samples=25)
+    gam = evaluate_gamma(res, tau)
+    rmse = float(np.sqrt(np.mean((gam.mean(axis=0) - gt) ** 2)))
+    assert rmse < 0.06 * rp, (rmse, rp)
+    assert res.diagnostics["divergence_rate"].mean() < 0.05
