@@ -369,7 +369,8 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                        warmup: int = 500, samples: int = 500,
                        max_iter: int = 2000, n_restarts: int = 2,
                        random_seed: int = 0, mesh: Optional[Mesh] = None,
-                       max_tree_depth: int = 10, dtype=None) -> BatchFitResult:
+                       max_tree_depth: int = 10, dtype=None,
+                       ncp: bool = False) -> BatchFitResult:
     """Fit spectra with DIFFERENT frequency grids in one XLA program.
 
     ``spectra``: list of (frequencies, Z) pairs. Grids are padded to a
@@ -427,7 +428,8 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
     dists = {"DRT": {"kernel": "DRT", "dist_type": "series"}}
     cfg, data0 = build_posterior(dists, {"DRT": mats}, freq_pad[0],
                                  z_pad[0], mode="sample" if mode == "sample"
-                                 else "optimize", nonneg=nonneg, dtype=dtype)
+                                 else "optimize", nonneg=nonneg, dtype=dtype,
+                                 ncp=ncp and mode == "sample")
 
     template = jax.tree.map(lambda a: a.astype(dtype),
                             init_unconstrained(cfg, data0, jax.random.PRNGKey(0)))

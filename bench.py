@@ -68,10 +68,10 @@ def main():
     gammas = evaluate_gamma(res, gt["tau"].values)
     rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
     rmse = float(np.sqrt(np.mean((gammas.mean(axis=0) - gt["gamma"].values) ** 2)))
-    # the batch spectra carry the file's 0.25% noise PLUS fresh replica noise,
-    # so the recovery tolerance sits between the reference's MAP (~5%) and
-    # HMC (~1%) accuracy on clean data
-    ok = rmse < 0.06 * rp
+    # the batch spectra carry the file's 0.25% noise PLUS fresh replica
+    # noise; with the non-centered sampler the batch-mean recovery lands at
+    # ~1.5% of Rp on the TPU, so 3% is a tight but safe gate
+    ok = rmse < 0.03 * rp
 
     spectra_per_min = B / (elapsed / 60.0)
     baseline_throughput = 60.0 / BASELINE_SEC_PER_SPECTRUM
