@@ -47,6 +47,9 @@ class NUTSConfig(NamedTuple):
     adapt_mass: bool = True       # False: keep the initial/passed-in metric
                                   # fixed and adapt only the step size (used
                                   # with a precomputed pooled-batch metric)
+    unroll: int = 1               # leapfrogs per while-loop iteration in the
+                                  # tree builder (amortizes batch-wide loop
+                                  # sync overhead; see _build_subtree)
 
 
 class _EdgeState(NamedTuple):
@@ -108,7 +111,8 @@ def _is_turning(v_left, v_right, rho):
 
 
 def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
-                   m_inv, H0, max_depth: int, max_energy_error) -> _SubtreeResult:
+                   m_inv, H0, max_depth: int, max_energy_error,
+                   unroll: int = 1) -> _SubtreeResult:
     """Run 2^depth leapfrog steps from z0, with progressive multinomial
     proposal sampling and checkpoint-based internal U-turn checks.
 
@@ -118,6 +122,12 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
     condition is checked between the stored start and the current leaf with
     the subtree momentum sum. This covers every subtree of the balanced tree
     in O(max_depth) memory — the iterative equivalent of Stan's recursion.
+
+    ``unroll``: leaves processed per while-loop iteration. Under vmap every
+    loop iteration is a batch-wide sync point with fixed overhead (cond
+    reduction, carry selects, kernel launches); unrolling packs more
+    arithmetic per iteration at the price of up to unroll-1 wasted
+    (masked-out) leapfrogs at each subtree boundary.
     """
     dim = z0.q.shape[0]
     n_leaves_total = jnp.left_shift(1, depth)
@@ -125,7 +135,7 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
     ks = jnp.arange(kd)
     pow2 = jnp.left_shift(1, ks)
 
-    def body(st):
+    def one_leaf(st):
         (i, z, prop_q, prop_logp, prop_grad, prop_kin, logw, rho, v_ck,
          rho_ck, first, turning, diverging, sum_acc) = st
         z_new = _leapfrog(value_and_grad, z, eps_signed, m_inv)
@@ -173,10 +183,21 @@ def _build_subtree(value_and_grad, key, z0: _EdgeState, depth, eps_signed,
                 logw_new, rho, v_ck, rho_ck, first, turning,
                 jnp.logical_or(diverging, div), sum_acc)
 
-    def cond(st):
+    def alive(st):
         i = st[0]
         turning, diverging = st[11], st[12]
         return (i < n_leaves_total) & (~turning) & (~diverging)
+
+    def body(st):
+        # first leaf needs no guard: cond() just established liveness
+        st = one_leaf(st)
+        for _ in range(unroll - 1):
+            ok = alive(st)
+            st_new = one_leaf(st)
+            st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), st_new, st)
+        return st
+
+    cond = alive
 
     zeros = jnp.zeros((kd, dim), z0.q.dtype)
     init = (jnp.asarray(0, jnp.int32), z0, z0.q, z0.logp, z0.grad,
@@ -203,7 +224,7 @@ class NUTSInfo(NamedTuple):
 
 def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
                     max_depth: int = 10, max_energy_error: float = 1000.0,
-                    mass_chol=None):
+                    mass_chol=None, unroll: int = 1):
     """One NUTS draw. Returns (q_new, logp_new, grad_new, NUTSInfo)."""
     key_mom, key_tree = jax.random.split(key)
     dim = q.shape[0]
@@ -220,7 +241,8 @@ def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
                             z_plus, z_minus)
         eps_signed = jnp.where(go_right, eps, -eps)
         sub = _build_subtree(value_and_grad, key_sub, edge, depth, eps_signed,
-                             m_inv, H0, max_depth, max_energy_error)
+                             m_inv, H0, max_depth, max_energy_error,
+                             unroll=unroll)
         sum_acc = sum_acc + sub.sum_accept
         n_leaves = n_leaves + sub.n_leaves
         ok = (~sub.turning) & (~sub.diverging)
@@ -453,7 +475,7 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
         q, logp, grad, info = nuts_transition(
             value_and_grad, q, logp, grad, k_step, eps, m_inv,
             max_depth=cfg.max_depth, max_energy_error=cfg.max_energy_error,
-            mass_chol=chol)
+            mass_chol=chol, unroll=cfg.unroll)
 
         da_new = _da_update(da, info.accept_prob, cfg)
         da = jax.tree.map(lambda n, o: jnp.where(is_warm, n, o), da_new, da)

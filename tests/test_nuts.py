@@ -138,3 +138,25 @@ def test_fixed_metric_step_size_only():
                                 warmup=150, samples=500, cfg=cfg,
                                 metric=jnp.asarray(var))
     assert float(np.asarray(info2["diverging"]).mean()) < 0.02
+
+
+def test_unroll_is_semantics_preserving():
+    """The unrolled tree builder must produce BIT-IDENTICAL draws to the
+    unit-stride builder: unrolling only packs more leaves per loop
+    iteration, with masked-out extra work at subtree boundaries."""
+    d = 10
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((d, d))
+    cov = A @ A.T + 0.5 * np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(q):
+        return -0.5 * q @ (prec @ q)
+
+    d1, _ = sample_nuts(logp, jnp.zeros(d), jax.random.PRNGKey(0),
+                        warmup=150, samples=150, cfg=NUTSConfig(max_depth=8))
+    for u in (2, 4):
+        du, _ = sample_nuts(logp, jnp.zeros(d), jax.random.PRNGKey(0),
+                            warmup=150, samples=150,
+                            cfg=NUTSConfig(max_depth=8, unroll=u))
+        np.testing.assert_array_equal(np.asarray(du), np.asarray(d1))
