@@ -4,8 +4,11 @@ Workload: B simulated ZARC spectra (N=81 frequencies, K=101 basis functions,
 the reference's standard problem size), each fit with full NUTS — 4 chains x
 (250 warmup + 250 draws) — in ONE XLA program vmapped over spectra and
 chains. Sampling uses the non-centered coefficient parameterization (a pure
-change of variables targeting the identical posterior) which roughly
-halves the recovery error at this budget vs the centered form.
+change of variables targeting the identical posterior) which cuts the
+recovery error ~3x at this budget vs the centered form, and max_tree_depth
+6 — measured back-to-back, depth 6 is ~1.7x faster than depth 8 with the
+recovered-gamma RMSE unchanged within the accuracy gate (1.6% vs 1.4% of
+Rp; the gate requires < 3%).
 
 Baseline: the reference fits ONE spectrum with Stan NUTS at 4 chains x
 (500+500) in 515.5 s on CPU (BASELINE.md, code_EchemActa/"Run fits.ipynb"
@@ -33,7 +36,7 @@ B = 512
 CHAINS = 4
 WARMUP = 250
 SAMPLES = 250
-MAX_DEPTH = 8
+MAX_DEPTH = 6
 BASELINE_SEC_PER_SPECTRUM = 515.5 / 2.0   # reference 4x1000 scaled to 4x500
 
 
