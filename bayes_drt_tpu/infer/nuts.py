@@ -50,6 +50,9 @@ class NUTSConfig(NamedTuple):
     unroll: int = 1               # leapfrogs per while-loop iteration in the
                                   # tree builder (amortizes batch-wide loop
                                   # sync overhead; see _build_subtree)
+    flat_tree: bool = False       # single flat while_loop per draw instead
+                                  # of nested doubling loops (identical
+                                  # draws; see nuts_transition_flat)
 
 
 class _EdgeState(NamedTuple):
@@ -220,6 +223,159 @@ class NUTSInfo(NamedTuple):
     n_leapfrog: jax.Array
     energy: jax.Array
     tree_depth: jax.Array
+
+
+def nuts_transition_flat(value_and_grad: Callable, q, logp, grad, key, eps,
+                         m_inv, max_depth: int = 10,
+                         max_energy_error: float = 1000.0, mass_chol=None):
+    """One NUTS draw built with a SINGLE while_loop over leapfrog steps.
+
+    Mathematically identical to ``nuts_transition`` (same RNG stream, same
+    draws bit-for-bit), but the tree doubling and merge bookkeeping run as
+    MASKED operations inside one flat loop instead of a per-subtree inner
+    while_loop. Two wins on accelerator runtimes: (a) one loop entry per
+    draw instead of 1 + tree_depth, so any fixed loop setup/teardown cost
+    is paid once; (b) under vmap the batch no longer synchronizes at every
+    subtree boundary — each element advances through its own doubling
+    schedule, so a draw costs max-total-leaves instead of
+    sum-of-per-subtree maxima.
+    """
+    key_mom, key_tree = jax.random.split(key)
+    dim = q.shape[0]
+    dtype = q.dtype
+    p0 = _sample_momentum(key_mom, m_inv, mass_chol, dtype)
+    H0 = -logp + _kinetic(p0, m_inv)
+    z0 = _EdgeState(q=q, p=p0, grad=grad, logp=logp)
+    kd = max_depth + 1
+    pow2 = jnp.left_shift(1, jnp.arange(kd))
+    zeros_ck = jnp.zeros((kd, dim), dtype)
+
+    def sel(pred, a, b):
+        return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+    def body(st):
+        (depth, z_minus, z_plus, prop_q, prop_logp, prop_grad, prop_kin,
+         logw, rho, turning, diverging, sum_acc, n_leaves, key,
+         i, z, sprop_q, sprop_logp, sprop_grad, sprop_kin, slogw, srho,
+         v_ck, rho_ck, sfirst, sturn, sdiv, ssum, go_right, key_sub,
+         key_swap) = st
+
+        # ---- subtree start (i == 0): direction, fresh keys, reset ----
+        start = i == 0
+        key_n, kdir, ksub_n, kswap_n = jax.random.split(key, 4)
+        key = sel(start, key_n, key)
+        go_right = jnp.where(start, jax.random.bernoulli(kdir), go_right)
+        key_sub = sel(start, ksub_n, key_sub)
+        key_swap = sel(start, kswap_n, key_swap)
+        z = sel(start, sel(go_right, z_plus, z_minus), z)
+        slogw = jnp.where(start, -jnp.inf, slogw)
+        srho = jnp.where(start, jnp.zeros_like(srho), srho)
+        sturn = jnp.where(start, False, sturn)
+        sdiv = jnp.where(start, False, sdiv)
+        ssum = jnp.where(start, 0.0, ssum)
+
+        n_sub = jnp.left_shift(1, depth)
+        eps_signed = jnp.where(go_right, eps, -eps)
+
+        # ---- one leaf (same math as _build_subtree's one_leaf) ----
+        z_new = _leapfrog(value_and_grad, z, eps_signed, m_inv)
+        v_new = _vel(z_new.p, m_inv)
+        kin = 0.5 * jnp.dot(z_new.p, v_new)
+        H = -z_new.logp + kin
+        w = H0 - H
+        w = jnp.where(jnp.isnan(H), -jnp.inf, w)
+        div_leaf = ((H - H0) > max_energy_error) | jnp.isnan(H)
+
+        slogw_new = jnp.logaddexp(slogw, w)
+        u = jax.random.uniform(jax.random.fold_in(key_sub, i))
+        take = jnp.log(u) < (w - slogw_new)
+        sprop_q = jnp.where(take, z_new.q, sprop_q)
+        sprop_logp = jnp.where(take, z_new.logp, sprop_logp)
+        sprop_grad = jnp.where(take, z_new.grad, sprop_grad)
+        sprop_kin = jnp.where(take, kin, sprop_kin)
+        sfirst = sel(i == 0, z_new, sfirst)
+
+        start_mask = (jnp.mod(i, pow2) == 0) & (pow2 <= n_sub)
+        v_ck = jnp.where(start_mask[:, None], v_new[None, :], v_ck)
+        rho_ck = jnp.where(start_mask[:, None], srho[None, :], rho_ck)
+        srho = srho + z_new.p
+        end_mask = (jnp.mod(i + 1, pow2) == 0) & (pow2 <= n_sub)
+        rho_subs = srho[None, :] - rho_ck
+        turn_k = jnp.logical_or(
+            jnp.einsum("kd,kd->k", v_ck, rho_subs) <= 0.0,
+            rho_subs @ v_new <= 0.0)
+        sturn = jnp.logical_or(sturn, jnp.any(turn_k & end_mask & (pow2 > 1)))
+        sdiv = jnp.logical_or(sdiv, div_leaf)
+        ssum = ssum + jnp.minimum(1.0, jnp.exp(w))
+        slogw = slogw_new
+        z = z_new
+        i = i + 1
+
+        # ---- subtree complete: merge into the main tree (masked) ----
+        upd = (i >= n_sub) | sturn | sdiv
+        ok = (~sturn) & (~sdiv)
+
+        sum_acc = jnp.where(upd, sum_acc + ssum, sum_acc)
+        n_leaves = jnp.where(upd, n_leaves + i, n_leaves)
+
+        swap = jnp.log(jax.random.uniform(key_swap)) < (slogw - logw)
+        accept_sub = upd & ok & swap
+        prop_q = jnp.where(accept_sub, sprop_q, prop_q)
+        prop_logp = jnp.where(accept_sub, sprop_logp, prop_logp)
+        prop_grad = jnp.where(accept_sub, sprop_grad, prop_grad)
+        prop_kin = jnp.where(accept_sub, sprop_kin, prop_kin)
+        logw = jnp.where(upd & ok, jnp.logaddexp(logw, slogw), logw)
+
+        old_plus, old_minus = z_plus, z_minus
+        z_plus = sel(upd & ok & go_right, z, z_plus)
+        z_minus = sel(upd & ok & (~go_right), z, z_minus)
+        rho_new = rho + srho
+        merged_turn = _is_turning(_vel(z_minus.p, m_inv),
+                                  _vel(z_plus.p, m_inv), rho_new)
+        inner_old = sel(go_right, old_plus, old_minus)
+        rho_lx = rho + sfirst.p
+        turn_lx = _is_turning(
+            _vel(jnp.where(go_right, old_minus.p, sfirst.p), m_inv),
+            _vel(jnp.where(go_right, sfirst.p, old_plus.p), m_inv), rho_lx)
+        rho_rx = srho + inner_old.p
+        turn_rx = _is_turning(
+            _vel(jnp.where(go_right, inner_old.p, z.p), m_inv),
+            _vel(jnp.where(go_right, z.p, inner_old.p), m_inv), rho_rx)
+        merged_turn = merged_turn | turn_lx | turn_rx
+        rho = jnp.where(upd & ok, rho_new, rho)
+        turning = jnp.where(upd, sturn | (ok & merged_turn), turning)
+        diverging = jnp.where(upd, diverging | sdiv, diverging)
+        depth = jnp.where(upd, depth + 1, depth)
+        i = jnp.where(upd, 0, i)
+
+        return (depth, z_minus, z_plus, prop_q, prop_logp, prop_grad,
+                prop_kin, logw, rho, turning, diverging, sum_acc, n_leaves,
+                key, i, z, sprop_q, sprop_logp, sprop_grad, sprop_kin,
+                slogw, srho, v_ck, rho_ck, sfirst, sturn, sdiv, ssum,
+                go_right, key_sub, key_swap)
+
+    def cond(st):
+        depth, turning, diverging = st[0], st[9], st[10]
+        return (depth < max_depth) & (~turning) & (~diverging)
+
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    fdt = lambda v: jnp.asarray(v, dtype)
+    init = (i32(0), z0, z0, q, logp, grad, _kinetic(p0, m_inv),
+            fdt(0.0), p0, jnp.asarray(False), jnp.asarray(False), fdt(0.0),
+            i32(0), key_tree,
+            i32(0), z0, q, logp, grad, fdt(0.0), fdt(-jnp.inf),
+            jnp.zeros((dim,), dtype), zeros_ck, zeros_ck, z0,
+            jnp.asarray(False), jnp.asarray(False), fdt(0.0),
+            jnp.asarray(False), key_tree, key_tree)
+    out = jax.lax.while_loop(cond, body, init)
+    (depth, _, _, prop_q, prop_logp, prop_grad, prop_kin, _, _, _,
+     diverging, sum_acc, n_leaves) = out[:13]
+
+    accept_prob = sum_acc / jnp.maximum(n_leaves, 1)
+    energy = -prop_logp + prop_kin
+    info = NUTSInfo(accept_prob=accept_prob, diverging=diverging,
+                    n_leapfrog=n_leaves, energy=energy, tree_depth=depth)
+    return prop_q, prop_logp, prop_grad, info
 
 
 def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
@@ -472,10 +628,17 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
         is_warm, slow, wend = xs
         key, k_step = jax.random.split(key)
         eps = jnp.where(is_warm, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar))
-        q, logp, grad, info = nuts_transition(
-            value_and_grad, q, logp, grad, k_step, eps, m_inv,
-            max_depth=cfg.max_depth, max_energy_error=cfg.max_energy_error,
-            mass_chol=chol, unroll=cfg.unroll)
+        if cfg.flat_tree:
+            q, logp, grad, info = nuts_transition_flat(
+                value_and_grad, q, logp, grad, k_step, eps, m_inv,
+                max_depth=cfg.max_depth,
+                max_energy_error=cfg.max_energy_error, mass_chol=chol)
+        else:
+            q, logp, grad, info = nuts_transition(
+                value_and_grad, q, logp, grad, k_step, eps, m_inv,
+                max_depth=cfg.max_depth,
+                max_energy_error=cfg.max_energy_error,
+                mass_chol=chol, unroll=cfg.unroll)
 
         da_new = _da_update(da, info.accept_prob, cfg)
         da = jax.tree.map(lambda n, o: jnp.where(is_warm, n, o), da_new, da)

@@ -133,7 +133,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       max_tree_depth: int = 10, dtype=None,
                       distributions=None, precondition: Optional[str] = None,
                       pilot_warmup: int = 50, pilot_samples: int = 25,
-                      ncp: bool = False, unroll: int = 1) -> BatchFitResult:
+                      ncp: bool = False, unroll: int = 1,
+                      flat_tree: bool = False) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
     Z_batch: complex array (B, N). mode='sample' runs ``chains`` NUTS chains
@@ -183,7 +184,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         return lambda q: log_density(cfg, d, unravel(q), jacobian=(mode == "sample"))
 
     if mode == "sample":
-        nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll)
+        nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
+                              flat_tree=flat_tree)
 
         def summarize(draws, info):
             flat = draws.reshape(-1, draws.shape[-1])
@@ -306,7 +308,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
 
         main_warmup = max(20, warmup - pilot_warmup - pilot_samples)
         main_cfg = NUTSConfig(max_depth=max_tree_depth, adapt_mass=False,
-                              unroll=unroll)
+                              unroll=unroll, flat_tree=flat_tree)
 
         def fit_one(target, skey, q0c):    # noqa: F811 — pooled-path override
             logp = logp_for(target)
@@ -371,7 +373,8 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                        max_iter: int = 2000, n_restarts: int = 2,
                        random_seed: int = 0, mesh: Optional[Mesh] = None,
                        max_tree_depth: int = 10, dtype=None,
-                       ncp: bool = False, unroll: int = 1) -> BatchFitResult:
+                       ncp: bool = False, unroll: int = 1,
+                      flat_tree: bool = False) -> BatchFitResult:
     """Fit spectra with DIFFERENT frequency grids in one XLA program.
 
     ``spectra``: list of (frequencies, Z) pairs. Grids are padded to a
@@ -442,7 +445,8 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                               lik_mask=mask_row)
 
     if mode == "sample":
-        nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll)
+        nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
+                              flat_tree=flat_tree)
 
         def fit_one(A_stack, target, freq_row, mask_row, skey):
             d = make_data(A_stack, target, freq_row, mask_row)

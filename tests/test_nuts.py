@@ -160,3 +160,26 @@ def test_unroll_is_semantics_preserving():
                             warmup=150, samples=150,
                             cfg=NUTSConfig(max_depth=8, unroll=u))
         np.testing.assert_array_equal(np.asarray(du), np.asarray(d1))
+
+
+def test_flat_tree_is_bit_identical():
+    """The single-flat-loop transition must produce BIT-IDENTICAL draws to
+    the nested doubling loops: same RNG stream, same leaf order, merge
+    bookkeeping just runs masked inside one loop."""
+    d = 10
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((d, d))
+    cov = A @ A.T + 0.5 * np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(q):
+        return -0.5 * q @ (prec @ q)
+
+    d1, i1 = sample_nuts(logp, jnp.zeros(d), jax.random.PRNGKey(0),
+                         warmup=200, samples=200, cfg=NUTSConfig(max_depth=8))
+    d2, i2 = sample_nuts(logp, jnp.zeros(d), jax.random.PRNGKey(0),
+                         warmup=200, samples=200,
+                         cfg=NUTSConfig(max_depth=8, flat_tree=True))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(i2["n_leapfrog"]),
+                                  np.asarray(i1["n_leapfrog"]))
