@@ -8,7 +8,8 @@ change of variables targeting the identical posterior) which cuts the
 recovery error ~3x at this budget vs the centered form, and max_tree_depth
 6 — measured back-to-back, depth 6 is ~1.7x faster than depth 8 with the
 recovered-gamma RMSE unchanged within the accuracy gate (1.6% vs 1.4% of
-Rp; the gate requires < 3%).
+Rp; the gate requires < 3%) — and the flat single-loop tree builder
+(another ~15-20% at depth 6, bit-identical draws).
 
 Baseline: the reference fits ONE spectrum with Stan NUTS at 4 chains x
 (500+500) in 515.5 s on CPU (BASELINE.md, code_EchemActa/"Run fits.ipynb"
@@ -58,12 +59,13 @@ def main():
     # timed run measures sampling, not XLA compilation
     fit_spectra_batch(freq, Zb, mode="sample", chains=CHAINS, warmup=WARMUP,
                       samples=SAMPLES, max_tree_depth=MAX_DEPTH, random_seed=0,
-                      ncp=True)
+                      ncp=True, flat_tree=True)
 
     t0 = time.time()
     res = fit_spectra_batch(freq, Zb, mode="sample", chains=CHAINS,
                             warmup=WARMUP, samples=SAMPLES,
-                            max_tree_depth=MAX_DEPTH, random_seed=1, ncp=True)
+                            max_tree_depth=MAX_DEPTH, random_seed=1, ncp=True,
+                            flat_tree=True)
     elapsed = time.time() - t0
 
     # correctness gate
