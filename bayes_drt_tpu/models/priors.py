@@ -7,10 +7,15 @@ them.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
-_LOG_SQRT_2PI = 0.5 * jnp.log(2.0 * jnp.pi)
+# Python float, NOT a jnp array: a module-level jnp constant would initialize
+# the JAX backend at import time, before an embedder can configure the
+# platform (e.g. the driver's dryrun_multichip forcing CPU + virtual devices).
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 
 
 def normal_lpdf(x, mu, sigma):
