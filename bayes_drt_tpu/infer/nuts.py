@@ -53,6 +53,15 @@ class NUTSConfig(NamedTuple):
     flat_tree: bool = False       # single flat while_loop per draw instead
                                   # of nested doubling loops (identical
                                   # draws; see nuts_transition_flat)
+    fused_draws: bool = False     # ONE persistent while_loop over the whole
+                                  # chain (all warmup+sample draws), with
+                                  # masked draw boundaries — no per-draw loop
+                                  # entry or scan step, and vmapped batch
+                                  # elements never synchronize at draw
+                                  # boundaries (same math/RNG as flat_tree,
+                                  # equal up to FP reassociation of the
+                                  # step-size adaptation; see
+                                  # _sample_nuts_fused)
 
 
 class _EdgeState(NamedTuple):
@@ -225,6 +234,180 @@ class NUTSInfo(NamedTuple):
     tree_depth: jax.Array
 
 
+class _FlatState(NamedTuple):
+    """Full state of one in-flight flat-loop NUTS transition (the carry of
+    nuts_transition_flat's while_loop, shared with the fused sampler)."""
+    depth: jax.Array
+    z_minus: _EdgeState
+    z_plus: _EdgeState
+    prop_q: jax.Array
+    prop_logp: jax.Array
+    prop_grad: jax.Array
+    prop_kin: jax.Array
+    logw: jax.Array
+    rho: jax.Array
+    turning: jax.Array
+    diverging: jax.Array
+    sum_acc: jax.Array
+    n_leaves: jax.Array
+    key: jax.Array
+    i: jax.Array
+    z: _EdgeState
+    sprop_q: jax.Array
+    sprop_logp: jax.Array
+    sprop_grad: jax.Array
+    sprop_kin: jax.Array
+    slogw: jax.Array
+    srho: jax.Array
+    v_ck: jax.Array
+    rho_ck: jax.Array
+    sfirst: _EdgeState
+    sturn: jax.Array
+    sdiv: jax.Array
+    ssum: jax.Array
+    go_right: jax.Array
+    key_sub: jax.Array
+    key_swap: jax.Array
+
+
+def _sel(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _flat_init(q, logp, grad, p0, kin0, key_tree, kd: int) -> _FlatState:
+    """Fresh transition state at the start of a draw (momentum p0 already
+    sampled; kin0 = kinetic(p0))."""
+    dim = q.shape[0]
+    dtype = q.dtype
+    z0 = _EdgeState(q=q, p=p0, grad=grad, logp=logp)
+    zeros_ck = jnp.zeros((kd, dim), dtype)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    fdt = lambda v: jnp.asarray(v, dtype)
+    return _FlatState(
+        depth=i32(0), z_minus=z0, z_plus=z0, prop_q=q, prop_logp=logp,
+        prop_grad=grad, prop_kin=kin0, logw=fdt(0.0), rho=p0,
+        turning=jnp.asarray(False), diverging=jnp.asarray(False),
+        sum_acc=fdt(0.0), n_leaves=i32(0), key=key_tree,
+        i=i32(0), z=z0, sprop_q=q, sprop_logp=logp, sprop_grad=grad,
+        sprop_kin=fdt(0.0), slogw=fdt(-jnp.inf),
+        srho=jnp.zeros((dim,), dtype), v_ck=zeros_ck, rho_ck=zeros_ck,
+        sfirst=z0, sturn=jnp.asarray(False), sdiv=jnp.asarray(False),
+        ssum=fdt(0.0), go_right=jnp.asarray(False), key_sub=key_tree,
+        key_swap=key_tree)
+
+
+def _flat_body(value_and_grad: Callable, st: _FlatState, eps, m_inv, H0,
+               pow2, max_energy_error) -> _FlatState:
+    """One leapfrog step of the flat tree builder: masked subtree start,
+    leaf bookkeeping, and masked subtree merge. eps and H0 may be traced
+    per-element values (they vary per draw in the fused sampler)."""
+    sel = _sel
+    (depth, z_minus, z_plus, prop_q, prop_logp, prop_grad, prop_kin,
+     logw, rho, turning, diverging, sum_acc, n_leaves, key,
+     i, z, sprop_q, sprop_logp, sprop_grad, sprop_kin, slogw, srho,
+     v_ck, rho_ck, sfirst, sturn, sdiv, ssum, go_right, key_sub,
+     key_swap) = st
+
+    # ---- subtree start (i == 0): direction, fresh keys, reset ----
+    start = i == 0
+    key_n, kdir, ksub_n, kswap_n = jax.random.split(key, 4)
+    key = sel(start, key_n, key)
+    go_right = jnp.where(start, jax.random.bernoulli(kdir), go_right)
+    key_sub = sel(start, ksub_n, key_sub)
+    key_swap = sel(start, kswap_n, key_swap)
+    z = sel(start, sel(go_right, z_plus, z_minus), z)
+    slogw = jnp.where(start, -jnp.inf, slogw)
+    srho = jnp.where(start, jnp.zeros_like(srho), srho)
+    sturn = jnp.where(start, False, sturn)
+    sdiv = jnp.where(start, False, sdiv)
+    ssum = jnp.where(start, 0.0, ssum)
+
+    n_sub = jnp.left_shift(1, depth)
+    eps_signed = jnp.where(go_right, eps, -eps)
+
+    # ---- one leaf (same math as _build_subtree's one_leaf) ----
+    z_new = _leapfrog(value_and_grad, z, eps_signed, m_inv)
+    v_new = _vel(z_new.p, m_inv)
+    kin = 0.5 * jnp.dot(z_new.p, v_new)
+    H = -z_new.logp + kin
+    w = H0 - H
+    w = jnp.where(jnp.isnan(H), -jnp.inf, w)
+    div_leaf = ((H - H0) > max_energy_error) | jnp.isnan(H)
+
+    slogw_new = jnp.logaddexp(slogw, w)
+    u = jax.random.uniform(jax.random.fold_in(key_sub, i))
+    take = jnp.log(u) < (w - slogw_new)
+    sprop_q = jnp.where(take, z_new.q, sprop_q)
+    sprop_logp = jnp.where(take, z_new.logp, sprop_logp)
+    sprop_grad = jnp.where(take, z_new.grad, sprop_grad)
+    sprop_kin = jnp.where(take, kin, sprop_kin)
+    sfirst = sel(i == 0, z_new, sfirst)
+
+    start_mask = (jnp.mod(i, pow2) == 0) & (pow2 <= n_sub)
+    v_ck = jnp.where(start_mask[:, None], v_new[None, :], v_ck)
+    rho_ck = jnp.where(start_mask[:, None], srho[None, :], rho_ck)
+    srho = srho + z_new.p
+    end_mask = (jnp.mod(i + 1, pow2) == 0) & (pow2 <= n_sub)
+    rho_subs = srho[None, :] - rho_ck
+    turn_k = jnp.logical_or(
+        jnp.einsum("kd,kd->k", v_ck, rho_subs) <= 0.0,
+        rho_subs @ v_new <= 0.0)
+    sturn = jnp.logical_or(sturn, jnp.any(turn_k & end_mask & (pow2 > 1)))
+    sdiv = jnp.logical_or(sdiv, div_leaf)
+    ssum = ssum + jnp.minimum(1.0, jnp.exp(w))
+    slogw = slogw_new
+    z = z_new
+    i = i + 1
+
+    # ---- subtree complete: merge into the main tree (masked) ----
+    upd = (i >= n_sub) | sturn | sdiv
+    ok = (~sturn) & (~sdiv)
+
+    sum_acc = jnp.where(upd, sum_acc + ssum, sum_acc)
+    n_leaves = jnp.where(upd, n_leaves + i, n_leaves)
+
+    swap = jnp.log(jax.random.uniform(key_swap)) < (slogw - logw)
+    accept_sub = upd & ok & swap
+    prop_q = jnp.where(accept_sub, sprop_q, prop_q)
+    prop_logp = jnp.where(accept_sub, sprop_logp, prop_logp)
+    prop_grad = jnp.where(accept_sub, sprop_grad, prop_grad)
+    prop_kin = jnp.where(accept_sub, sprop_kin, prop_kin)
+    logw = jnp.where(upd & ok, jnp.logaddexp(logw, slogw), logw)
+
+    old_plus, old_minus = z_plus, z_minus
+    z_plus = sel(upd & ok & go_right, z, z_plus)
+    z_minus = sel(upd & ok & (~go_right), z, z_minus)
+    rho_new = rho + srho
+    merged_turn = _is_turning(_vel(z_minus.p, m_inv),
+                              _vel(z_plus.p, m_inv), rho_new)
+    inner_old = sel(go_right, old_plus, old_minus)
+    rho_lx = rho + sfirst.p
+    turn_lx = _is_turning(
+        _vel(jnp.where(go_right, old_minus.p, sfirst.p), m_inv),
+        _vel(jnp.where(go_right, sfirst.p, old_plus.p), m_inv), rho_lx)
+    rho_rx = srho + inner_old.p
+    turn_rx = _is_turning(
+        _vel(jnp.where(go_right, inner_old.p, z.p), m_inv),
+        _vel(jnp.where(go_right, z.p, inner_old.p), m_inv), rho_rx)
+    merged_turn = merged_turn | turn_lx | turn_rx
+    rho = jnp.where(upd & ok, rho_new, rho)
+    turning = jnp.where(upd, sturn | (ok & merged_turn), turning)
+    diverging = jnp.where(upd, diverging | sdiv, diverging)
+    depth = jnp.where(upd, depth + 1, depth)
+    i = jnp.where(upd, 0, i)
+
+    return _FlatState(
+        depth, z_minus, z_plus, prop_q, prop_logp, prop_grad,
+        prop_kin, logw, rho, turning, diverging, sum_acc, n_leaves,
+        key, i, z, sprop_q, sprop_logp, sprop_grad, sprop_kin,
+        slogw, srho, v_ck, rho_ck, sfirst, sturn, sdiv, ssum,
+        go_right, key_sub, key_swap)
+
+
+def _flat_alive(st: _FlatState, max_depth: int):
+    return (st.depth < max_depth) & (~st.turning) & (~st.diverging)
+
+
 def nuts_transition_flat(value_and_grad: Callable, q, logp, grad, key, eps,
                          m_inv, max_depth: int = 10,
                          max_energy_error: float = 1000.0, mass_chol=None):
@@ -241,141 +424,25 @@ def nuts_transition_flat(value_and_grad: Callable, q, logp, grad, key, eps,
     sum-of-per-subtree maxima.
     """
     key_mom, key_tree = jax.random.split(key)
-    dim = q.shape[0]
     dtype = q.dtype
     p0 = _sample_momentum(key_mom, m_inv, mass_chol, dtype)
     H0 = -logp + _kinetic(p0, m_inv)
-    z0 = _EdgeState(q=q, p=p0, grad=grad, logp=logp)
     kd = max_depth + 1
     pow2 = jnp.left_shift(1, jnp.arange(kd))
-    zeros_ck = jnp.zeros((kd, dim), dtype)
 
-    def sel(pred, a, b):
-        return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+    init = _flat_init(q, logp, grad, p0, _kinetic(p0, m_inv), key_tree, kd)
+    st = jax.lax.while_loop(
+        lambda s: _flat_alive(s, max_depth),
+        lambda s: _flat_body(value_and_grad, s, eps, m_inv, H0, pow2,
+                             max_energy_error),
+        init)
 
-    def body(st):
-        (depth, z_minus, z_plus, prop_q, prop_logp, prop_grad, prop_kin,
-         logw, rho, turning, diverging, sum_acc, n_leaves, key,
-         i, z, sprop_q, sprop_logp, sprop_grad, sprop_kin, slogw, srho,
-         v_ck, rho_ck, sfirst, sturn, sdiv, ssum, go_right, key_sub,
-         key_swap) = st
-
-        # ---- subtree start (i == 0): direction, fresh keys, reset ----
-        start = i == 0
-        key_n, kdir, ksub_n, kswap_n = jax.random.split(key, 4)
-        key = sel(start, key_n, key)
-        go_right = jnp.where(start, jax.random.bernoulli(kdir), go_right)
-        key_sub = sel(start, ksub_n, key_sub)
-        key_swap = sel(start, kswap_n, key_swap)
-        z = sel(start, sel(go_right, z_plus, z_minus), z)
-        slogw = jnp.where(start, -jnp.inf, slogw)
-        srho = jnp.where(start, jnp.zeros_like(srho), srho)
-        sturn = jnp.where(start, False, sturn)
-        sdiv = jnp.where(start, False, sdiv)
-        ssum = jnp.where(start, 0.0, ssum)
-
-        n_sub = jnp.left_shift(1, depth)
-        eps_signed = jnp.where(go_right, eps, -eps)
-
-        # ---- one leaf (same math as _build_subtree's one_leaf) ----
-        z_new = _leapfrog(value_and_grad, z, eps_signed, m_inv)
-        v_new = _vel(z_new.p, m_inv)
-        kin = 0.5 * jnp.dot(z_new.p, v_new)
-        H = -z_new.logp + kin
-        w = H0 - H
-        w = jnp.where(jnp.isnan(H), -jnp.inf, w)
-        div_leaf = ((H - H0) > max_energy_error) | jnp.isnan(H)
-
-        slogw_new = jnp.logaddexp(slogw, w)
-        u = jax.random.uniform(jax.random.fold_in(key_sub, i))
-        take = jnp.log(u) < (w - slogw_new)
-        sprop_q = jnp.where(take, z_new.q, sprop_q)
-        sprop_logp = jnp.where(take, z_new.logp, sprop_logp)
-        sprop_grad = jnp.where(take, z_new.grad, sprop_grad)
-        sprop_kin = jnp.where(take, kin, sprop_kin)
-        sfirst = sel(i == 0, z_new, sfirst)
-
-        start_mask = (jnp.mod(i, pow2) == 0) & (pow2 <= n_sub)
-        v_ck = jnp.where(start_mask[:, None], v_new[None, :], v_ck)
-        rho_ck = jnp.where(start_mask[:, None], srho[None, :], rho_ck)
-        srho = srho + z_new.p
-        end_mask = (jnp.mod(i + 1, pow2) == 0) & (pow2 <= n_sub)
-        rho_subs = srho[None, :] - rho_ck
-        turn_k = jnp.logical_or(
-            jnp.einsum("kd,kd->k", v_ck, rho_subs) <= 0.0,
-            rho_subs @ v_new <= 0.0)
-        sturn = jnp.logical_or(sturn, jnp.any(turn_k & end_mask & (pow2 > 1)))
-        sdiv = jnp.logical_or(sdiv, div_leaf)
-        ssum = ssum + jnp.minimum(1.0, jnp.exp(w))
-        slogw = slogw_new
-        z = z_new
-        i = i + 1
-
-        # ---- subtree complete: merge into the main tree (masked) ----
-        upd = (i >= n_sub) | sturn | sdiv
-        ok = (~sturn) & (~sdiv)
-
-        sum_acc = jnp.where(upd, sum_acc + ssum, sum_acc)
-        n_leaves = jnp.where(upd, n_leaves + i, n_leaves)
-
-        swap = jnp.log(jax.random.uniform(key_swap)) < (slogw - logw)
-        accept_sub = upd & ok & swap
-        prop_q = jnp.where(accept_sub, sprop_q, prop_q)
-        prop_logp = jnp.where(accept_sub, sprop_logp, prop_logp)
-        prop_grad = jnp.where(accept_sub, sprop_grad, prop_grad)
-        prop_kin = jnp.where(accept_sub, sprop_kin, prop_kin)
-        logw = jnp.where(upd & ok, jnp.logaddexp(logw, slogw), logw)
-
-        old_plus, old_minus = z_plus, z_minus
-        z_plus = sel(upd & ok & go_right, z, z_plus)
-        z_minus = sel(upd & ok & (~go_right), z, z_minus)
-        rho_new = rho + srho
-        merged_turn = _is_turning(_vel(z_minus.p, m_inv),
-                                  _vel(z_plus.p, m_inv), rho_new)
-        inner_old = sel(go_right, old_plus, old_minus)
-        rho_lx = rho + sfirst.p
-        turn_lx = _is_turning(
-            _vel(jnp.where(go_right, old_minus.p, sfirst.p), m_inv),
-            _vel(jnp.where(go_right, sfirst.p, old_plus.p), m_inv), rho_lx)
-        rho_rx = srho + inner_old.p
-        turn_rx = _is_turning(
-            _vel(jnp.where(go_right, inner_old.p, z.p), m_inv),
-            _vel(jnp.where(go_right, z.p, inner_old.p), m_inv), rho_rx)
-        merged_turn = merged_turn | turn_lx | turn_rx
-        rho = jnp.where(upd & ok, rho_new, rho)
-        turning = jnp.where(upd, sturn | (ok & merged_turn), turning)
-        diverging = jnp.where(upd, diverging | sdiv, diverging)
-        depth = jnp.where(upd, depth + 1, depth)
-        i = jnp.where(upd, 0, i)
-
-        return (depth, z_minus, z_plus, prop_q, prop_logp, prop_grad,
-                prop_kin, logw, rho, turning, diverging, sum_acc, n_leaves,
-                key, i, z, sprop_q, sprop_logp, sprop_grad, sprop_kin,
-                slogw, srho, v_ck, rho_ck, sfirst, sturn, sdiv, ssum,
-                go_right, key_sub, key_swap)
-
-    def cond(st):
-        depth, turning, diverging = st[0], st[9], st[10]
-        return (depth < max_depth) & (~turning) & (~diverging)
-
-    i32 = lambda v: jnp.asarray(v, jnp.int32)
-    fdt = lambda v: jnp.asarray(v, dtype)
-    init = (i32(0), z0, z0, q, logp, grad, _kinetic(p0, m_inv),
-            fdt(0.0), p0, jnp.asarray(False), jnp.asarray(False), fdt(0.0),
-            i32(0), key_tree,
-            i32(0), z0, q, logp, grad, fdt(0.0), fdt(-jnp.inf),
-            jnp.zeros((dim,), dtype), zeros_ck, zeros_ck, z0,
-            jnp.asarray(False), jnp.asarray(False), fdt(0.0),
-            jnp.asarray(False), key_tree, key_tree)
-    out = jax.lax.while_loop(cond, body, init)
-    (depth, _, _, prop_q, prop_logp, prop_grad, prop_kin, _, _, _,
-     diverging, sum_acc, n_leaves) = out[:13]
-
-    accept_prob = sum_acc / jnp.maximum(n_leaves, 1)
-    energy = -prop_logp + prop_kin
-    info = NUTSInfo(accept_prob=accept_prob, diverging=diverging,
-                    n_leapfrog=n_leaves, energy=energy, tree_depth=depth)
-    return prop_q, prop_logp, prop_grad, info
+    accept_prob = st.sum_acc / jnp.maximum(st.n_leaves, 1)
+    energy = -st.prop_logp + st.prop_kin
+    info = NUTSInfo(accept_prob=accept_prob, diverging=st.diverging,
+                    n_leapfrog=st.n_leaves, energy=energy,
+                    tree_depth=st.depth)
+    return st.prop_q, st.prop_logp, st.prop_grad, info
 
 
 def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
@@ -551,6 +618,141 @@ def _da_update(da: _DAState, accept_prob, cfg: NUTSConfig):
                     mu=da.mu, t=t)
 
 
+def _sample_nuts_fused(value_and_grad: Callable, q0, logp0, grad0, key,
+                       warmup: int, samples: int, cfg: NUTSConfig,
+                       m_inv0, chol0, eps0):
+    """Run a whole NUTS chain (warmup + samples) in ONE persistent
+    lax.while_loop over leapfrog steps.
+
+    Draw boundaries (momentum refresh, dual-averaging update, mass-window
+    update, draw write) are MASKED operations inside the loop, so there is
+    no per-draw scan step or while_loop entry, and under vmap batch elements
+    never synchronize at draw boundaries: the loop runs max-over-batch of
+    TOTAL leapfrogs instead of sum-over-draws of per-draw maxima.
+
+    Same RNG stream and same math as the flat_tree scan path: draws are
+    bit-identical when warmup=0; with adaptation they agree to floating-
+    point reassociation (XLA fuses the dual-averaging arithmetic differently
+    in the two program structures, and the ulp-level step-size difference
+    grows chaotically), with identical tree shapes (n_leapfrog).
+
+    Draw writes use a trash-row scheme: every iteration writes row
+    ``min(d - warmup, samples)`` of a (samples+1)-row buffer; non-boundary
+    iterations and warmup draws land in the extra row and are discarded.
+    """
+    dim = q0.shape[0]
+    dtype = q0.dtype
+    total = warmup + samples
+    kd = cfg.max_depth + 1
+    pow2 = jnp.left_shift(1, jnp.arange(kd))
+
+    if cfg.adapt_mass:
+        in_slow_np, win_end_np = _window_flags(warmup, cfg)
+        in_slow = jnp.asarray(np.concatenate([in_slow_np,
+                                              np.zeros(samples, bool)]))
+        win_end = jnp.asarray(np.concatenate([win_end_np,
+                                              np.zeros(samples, bool)]))
+        wf0 = (jnp.zeros((dim,), dtype), jnp.zeros((dim,), dtype),
+               jnp.zeros((), dtype))
+    else:
+        wf0 = (jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
+               jnp.zeros((), dtype))
+
+    def welford_add(wf, x):
+        mean, m2, n = wf
+        n1 = n + 1.0
+        d_ = x - mean
+        mean = mean + d_ / n1
+        m2 = m2 + d_ * (x - mean)
+        return mean, m2, n1
+
+    qs0 = jnp.zeros((samples + 1, dim), dtype)
+    fbuf = jnp.zeros((samples + 1,), dtype)
+    carry0 = (jnp.asarray(0, jnp.int32),             # d: draws completed
+              jnp.asarray(True),                     # need_refresh
+              q0, logp0, grad0,
+              _da_init(eps0, dtype), wf0, m_inv0, chol0, key,
+              jnp.zeros((), dtype),                  # eps of in-flight draw
+              jnp.zeros((), dtype),                  # H0 of in-flight draw
+              _flat_init(q0, logp0, grad0, jnp.zeros_like(q0),
+                         jnp.zeros((), dtype), key, kd),
+              qs0, fbuf, fbuf, jnp.zeros((samples + 1,), bool),
+              jnp.zeros((samples + 1,), jnp.int32), fbuf,
+              jnp.zeros((warmup + 1,), bool))
+
+    def body(c):
+        (d, refresh, q, logp, grad, da, wf, m_inv, chol, key, eps_draw, H0,
+         st, qs, logps, accb, divb, nlfb, enb, wdivb) = c
+        is_warm = d < warmup
+
+        # ---- masked draw start: fresh keys, momentum, step size ----
+        key_next, k_step = jax.random.split(key)
+        key_mom, key_tree = jax.random.split(k_step)
+        p0 = _sample_momentum(key_mom, m_inv, chol, dtype)
+        kin0 = _kinetic(p0, m_inv)
+        eps_new = jnp.where(is_warm, jnp.exp(da.log_eps),
+                            jnp.exp(da.log_eps_bar))
+        st = _sel(refresh, _flat_init(q, logp, grad, p0, kin0, key_tree, kd),
+                  st)
+        H0 = jnp.where(refresh, -logp + kin0, H0)
+        eps_draw = jnp.where(refresh, eps_new, eps_draw)
+        key = _sel(refresh, key_next, key)
+
+        # ---- one leapfrog of the flat tree builder ----
+        st = _flat_body(value_and_grad, st, eps_draw, m_inv, H0, pow2,
+                        cfg.max_energy_error)
+        done = ~_flat_alive(st, cfg.max_depth)
+
+        # ---- masked draw completion ----
+        accept = st.sum_acc / jnp.maximum(st.n_leaves, 1)
+        energy = -st.prop_logp + st.prop_kin
+        q = jnp.where(done, st.prop_q, q)
+        logp = jnp.where(done, st.prop_logp, logp)
+        grad = jnp.where(done, st.prop_grad, grad)
+        da = _sel(done & is_warm, _da_update(da, accept, cfg), da)
+
+        if cfg.adapt_mass:
+            slow_d = jnp.take(in_slow, d, mode="clip")
+            wend_d = jnp.take(win_end, d, mode="clip")
+            wf = _sel(done & slow_d, welford_add(wf, q), wf)
+            mean, m2, n = wf
+            cov = m2 / jnp.maximum(n - 1.0, 1.0)
+            reg = cov * (n / (n + 5.0)) + 1e-3 * (5.0 / (n + 5.0))
+            m_inv = jnp.where(done & wend_d & (n > 1), reg, m_inv)
+            wf = jax.tree.map(
+                lambda a: jnp.where(done & wend_d, jnp.zeros_like(a), a), wf)
+            da = _sel(done & wend_d, _da_init(jnp.exp(da.log_eps), dtype), da)
+
+        sidx = jnp.where(done & (d >= warmup), d - warmup, samples)
+        qs = qs.at[sidx].set(st.prop_q)
+        logps = logps.at[sidx].set(st.prop_logp)
+        accb = accb.at[sidx].set(accept)
+        divb = divb.at[sidx].set(st.diverging)
+        nlfb = nlfb.at[sidx].set(st.n_leaves)
+        enb = enb.at[sidx].set(energy)
+        widx = jnp.where(done & is_warm, d, warmup)
+        wdivb = wdivb.at[widx].set(st.diverging)
+
+        d = d + done.astype(jnp.int32)
+        return (d, done, q, logp, grad, da, wf, m_inv, chol, key, eps_draw,
+                H0, st, qs, logps, accb, divb, nlfb, enb, wdivb)
+
+    final = jax.lax.while_loop(lambda c: c[0] < total, body, carry0)
+    (_, _, _, _, _, da, _, m_inv, _, _, _, _, _, qs, logps, accb, divb,
+     nlfb, enb, wdivb) = final
+    info = {
+        "logp": logps[:samples],
+        "accept_prob": accb[:samples],
+        "diverging": divb[:samples],
+        "n_leapfrog": nlfb[:samples],
+        "energy": enb[:samples],
+        "step_size": jnp.exp(da.log_eps_bar),
+        "inv_mass": m_inv,
+        "warmup_diverging": wdivb[:warmup],
+    }
+    return qs[:samples], info
+
+
 @partial(jax.jit, static_argnames=("logp_fn", "warmup", "samples", "cfg"))
 def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
                 samples: int = 200, cfg: NUTSConfig = NUTSConfig(),
@@ -599,6 +801,17 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
     eps0 = find_reasonable_step_size(value_and_grad, q0, logp0, grad0, k_eps,
                                      m_inv0, init_eps=init_step_size,
                                      mass_chol=chol0)
+
+    if cfg.fused_draws:
+        if cfg.adapt_mass and cfg.dense_mass:
+            raise ValueError(
+                "fused_draws does not support dense mass adaptation (the "
+                "masked window update would pay a cholesky per leapfrog); "
+                "pass a fixed dense metric with adapt_mass=False, or use "
+                "flat_tree")
+        return _sample_nuts_fused(value_and_grad, q0, logp0, grad0, key,
+                                  warmup, samples, cfg, m_inv0, chol0, eps0)
+
     da0 = _da_init(eps0, dtype)
 
     # Welford accumulator: variance vector (diag) or full covariance (dense);

@@ -134,7 +134,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       distributions=None, precondition: Optional[str] = None,
                       pilot_warmup: int = 50, pilot_samples: int = 25,
                       ncp: bool = False, unroll: int = 1,
-                      flat_tree: bool = False) -> BatchFitResult:
+                      flat_tree: bool = False,
+                      fused_draws: bool = False) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
     Z_batch: complex array (B, N). mode='sample' runs ``chains`` NUTS chains
@@ -185,7 +186,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
 
     if mode == "sample":
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
-                              flat_tree=flat_tree)
+                              flat_tree=flat_tree, fused_draws=fused_draws)
 
         def summarize(draws, info):
             flat = draws.reshape(-1, draws.shape[-1])
@@ -308,7 +309,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
 
         main_warmup = max(20, warmup - pilot_warmup - pilot_samples)
         main_cfg = NUTSConfig(max_depth=max_tree_depth, adapt_mass=False,
-                              unroll=unroll, flat_tree=flat_tree)
+                              unroll=unroll, flat_tree=flat_tree,
+                              fused_draws=fused_draws)
 
         def fit_one(target, skey, q0c):    # noqa: F811 — pooled-path override
             logp = logp_for(target)
@@ -374,7 +376,8 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                        random_seed: int = 0, mesh: Optional[Mesh] = None,
                        max_tree_depth: int = 10, dtype=None,
                        ncp: bool = False, unroll: int = 1,
-                      flat_tree: bool = False) -> BatchFitResult:
+                      flat_tree: bool = False,
+                      fused_draws: bool = False) -> BatchFitResult:
     """Fit spectra with DIFFERENT frequency grids in one XLA program.
 
     ``spectra``: list of (frequencies, Z) pairs. Grids are padded to a
@@ -446,7 +449,7 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
 
     if mode == "sample":
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
-                              flat_tree=flat_tree)
+                              flat_tree=flat_tree, fused_draws=fused_draws)
 
         def fit_one(A_stack, target, freq_row, mask_row, skey):
             d = make_data(A_stack, target, freq_row, mask_row)

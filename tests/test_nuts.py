@@ -183,3 +183,47 @@ def test_flat_tree_is_bit_identical():
     np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
     np.testing.assert_array_equal(np.asarray(i2["n_leapfrog"]),
                                   np.asarray(i1["n_leapfrog"]))
+
+
+def test_fused_draws_matches_flat_tree():
+    """The fused persistent-loop sampler (one while_loop per chain) must
+    reproduce the flat_tree sampler: BIT-IDENTICAL draws when warmup=0 (no
+    adaptation arithmetic), and with adaptation identical tree shapes with
+    draws equal up to FP reassociation of the dual-averaging update (XLA
+    fuses the step-size arithmetic differently in the two programs; the
+    ulp-level difference grows chaotically with the trajectory)."""
+    d = 10
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((d, d))
+    cov = A @ A.T + 0.5 * np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(q):
+        return -0.5 * q @ (prec @ q)
+
+    # no adaptation: bit-identical
+    d1, i1 = sample_nuts(logp, jnp.ones(d), jax.random.PRNGKey(0),
+                         warmup=0, samples=20,
+                         cfg=NUTSConfig(max_depth=8, flat_tree=True))
+    d2, i2 = sample_nuts(logp, jnp.ones(d), jax.random.PRNGKey(0),
+                         warmup=0, samples=20,
+                         cfg=NUTSConfig(max_depth=8, fused_draws=True))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(i2["n_leapfrog"]),
+                                  np.asarray(i1["n_leapfrog"]))
+
+    # with step-size + mass adaptation: same trees, draws to reassociation
+    d1, i1 = sample_nuts(logp, jnp.zeros(d), jax.random.PRNGKey(3),
+                         warmup=60, samples=60,
+                         cfg=NUTSConfig(max_depth=8, flat_tree=True))
+    d2, i2 = sample_nuts(logp, jnp.zeros(d), jax.random.PRNGKey(3),
+                         warmup=60, samples=60,
+                         cfg=NUTSConfig(max_depth=8, fused_draws=True))
+    np.testing.assert_array_equal(np.asarray(i2["n_leapfrog"]),
+                                  np.asarray(i1["n_leapfrog"]))
+    np.testing.assert_array_equal(np.asarray(i2["diverging"]),
+                                  np.asarray(i1["diverging"]))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(i2["inv_mass"]),
+                               np.asarray(i1["inv_mass"]), rtol=1e-6)
