@@ -25,9 +25,9 @@ from .infer.ridge import (HyperLambdaConfig, RidgeData, run_hyper_lambda,
 from .infer.map import run_lbfgs, run_lbfgs_restarts
 from .infer.nuts import NUTSConfig, sample_nuts
 from .infer import diagnostics as mcmc_diagnostics
-from .models.build import build_posterior, sort_distributions
-from .models.posterior import (constrain, init_unconstrained, log_density,
-                               predict_target, sigma_tot)
+from .models.build import build_posterior, sort_distributions, z_scale_for
+from .models.posterior import (PosteriorData, constrain, init_unconstrained,
+                               log_density, predict_target, sigma_tot)
 from .utils import check_equality, get_outlier_thresh, r2_score, rel_round
 
 
@@ -49,6 +49,7 @@ class Inverter:
         self._cached_distributions = deepcopy(self.distributions)
         self.f_train = np.array([0.0])
         self.Z_train = None
+        self.t_train = None   # measurement times (drift fits only)
         self.f_pred = None
         self.prediction_matrices = {}
         self._Z_scale = 1.0
@@ -157,23 +158,7 @@ class Inverter:
     # --- scaling (reference: inversion.py:2411-2450) --------------------
 
     def _scale_Z(self, Z, fit_type):
-        num_series = sum(1 for i in self.distributions.values()
-                         if i["dist_type"] == "series")
-        num_par = sum(1 for i in self.distributions.values()
-                      if i["dist_type"] == "parallel")
-        zmod = np.abs(Z)
-        if num_par == 1 and num_series == 0 and fit_type != "ridge":
-            name = [n for n, i in self.distributions.items()
-                    if i["dist_type"] == "parallel"][0]
-            info = self.distributions[name]
-            if info["kernel"] == "DDT" and info.get("symmetry") == "planar":
-                ystar_std = 14.0 if info.get("bc") == "transmissive" else 2.4
-                ymod = np.abs(1.0 / Z)
-                self._Z_scale = ystar_std * np.sqrt(len(Z) / 81) / np.std(ymod)
-            else:
-                self._Z_scale = np.std(zmod) / np.sqrt(len(Z) / 81)
-        else:
-            self._Z_scale = np.std(zmod) / np.sqrt(len(Z) / 81)
+        self._Z_scale = float(z_scale_for(self.distributions, Z, fit_type))
         return Z / self._Z_scale
 
     def _rescale_coef(self, coef, dist_type):
@@ -249,6 +234,7 @@ class Inverter:
         frequencies = frequencies[sort_idx]
         Z = Z[sort_idx]
         self.Z_train = Z
+        self.t_train = None
 
         if not check_equality(self.distributions, self._cached_distributions):
             self._recalc_mat = True
@@ -685,7 +671,8 @@ class Inverter:
             outlier_lambda=None, mode="optimize", random_seed=1234,
             max_iter=4000, warmup=200, samples=200, chains=2,
             fitY=False, SA=False, SASY=False, n_restarts=2,
-            max_tree_depth=10, adapt_delta=0.9, ncp=False):
+            max_tree_depth=10, adapt_delta=0.9, ncp=False,
+            add_model_data=None, log_density_fn=None):
         """MAP (mode='optimize') or full HMC (mode='sample') fit of the
         calibrated hierarchical Bayesian model.
 
@@ -693,7 +680,18 @@ class Inverter:
         non-centered parameterization (x = ups * z with the matching
         Jacobian) — a pure change of variables targeting the SAME
         posterior, which removes the ups->x funnel and substantially
-        improves mixing (lower split-Rhat) at short chain budgets."""
+        improves mixing (lower split-Rhat) at short chain budgets.
+
+        Escape hatches (the reference's ``add_stan_data``/``model_str``,
+        inversion.py:1143-1147):
+
+        - ``add_model_data``: dict overriding any PosteriorData field after
+          assembly (e.g. ``{"ups_alpha": 0.5, "sigma_out_lambda": 5.0}`` to
+          re-tune hyperparameters, or a custom ``lik_mask``).
+        - ``log_density_fn``: callable ``(cfg, data, params, jacobian) ->
+          scalar`` replacing the built-in log density entirely (the
+          ``model_str`` analogue: swap the probabilistic model while reusing
+          matrix assembly, scaling, solvers and extraction)."""
         if SA or SASY:
             raise ValueError("The SA/SASY row-scaling experiments are marked "
                              "'for testing only' in the reference "
@@ -742,6 +740,27 @@ class Inverter:
             part=part, nonneg=nonneg, outliers=bool(outliers), fitY=fitY,
             sigma_min=sigma_min, inductance_scale=inductance_scale,
             outlier_lambda=outlier_lambda, ncp=ncp and mode == "sample")
+        if add_model_data:
+            unknown = set(add_model_data) - set(PosteriorData._fields)
+            if unknown:
+                raise ValueError(
+                    f"Unknown PosteriorData fields in add_model_data: "
+                    f"{sorted(unknown)}. Valid fields: "
+                    f"{list(PosteriorData._fields)}")
+            dtype = data.target.dtype
+            updates = {}
+            for k, v in add_model_data.items():
+                cur = getattr(data, k)
+                if isinstance(cur, tuple):
+                    if len(v) != len(cur):
+                        raise ValueError(
+                            f"add_model_data[{k!r}] must have "
+                            f"{len(cur)} entries (one per distribution)")
+                    updates[k] = tuple(jnp.asarray(vi, dtype=dtype) for vi in v)
+                else:
+                    updates[k] = jnp.asarray(v, dtype=dtype)
+            data = data._replace(**updates)
+        density = log_density if log_density_fn is None else log_density_fn
         self.stan_model_name = cfg.model_name()
         self._posterior = (cfg, data)
         if cfg.model_name().startswith("Series-Parallel") and not nonneg:
@@ -752,7 +771,7 @@ class Inverter:
         key = jax.random.PRNGKey(random_seed)
 
         if mode == "optimize":
-            loss = lambda p: -log_density(cfg, data, p, jacobian=False)
+            loss = lambda p: -density(cfg, data, p, jacobian=False)
             if init_values is not None:
                 p0 = init_unconstrained(cfg, data, key, init_values=init_values)
                 res = run_lbfgs(loss, p0, max_iter=max_iter)
@@ -770,7 +789,7 @@ class Inverter:
         elif mode == "sample":
             logp_template = init_unconstrained(cfg, data, key)
             _, unravel = ravel_pytree(logp_template)
-            logp = lambda q: log_density(cfg, data, unravel(q), jacobian=True)
+            logp = lambda q: density(cfg, data, unravel(q), jacobian=True)
             nuts_cfg = NUTSConfig(max_depth=max_tree_depth, delta=adapt_delta)
 
             def one_chain(chain_key):
@@ -898,6 +917,7 @@ class Inverter:
         Z = np.asarray(Z)
         self.f_train = frequencies
         self.Z_train = Z
+        self.t_train = times
         if scale_Z:
             Z_scaled = self._scale_Z(Z, "map")
         else:
@@ -969,6 +989,7 @@ class Inverter:
             Z_scaled = self._scale_Z(Z, "map")
         self.f_train = frequencies
         self.Z_train = Z
+        self.t_train = times
         self.distribution_matrices[dist_name].update(A_re=A_re, A_im=A_im)
         self.f_pred = None
 
@@ -1313,8 +1334,24 @@ class Inverter:
 
     def predict_Z(self, frequencies, distributions=None, include_offsets=True,
                   percentile=None, times=None):
-        """(reference: inversion.py:2669-2961; drift paths not included)"""
+        """(reference: inversion.py:2669-2961, incl. the drift path
+        2746-2940: for a drift_map_fit result, ``times`` gives the
+        measurement time of each frequency point)"""
         frequencies = np.asarray(frequencies, float)
+        if self.fit_type == "map-drift":
+            if times is None:
+                raise ValueError(
+                    "This is a drift fit (fit_type='map-drift'): predict_Z "
+                    "requires times (one per frequency point)")
+            if percentile is not None:
+                raise ValueError("Percentile prediction is not available for "
+                                 "drift (MAP-only) fits")
+            return self.predict_Z_drift(frequencies, times,
+                                        distributions=distributions,
+                                        include_offsets=include_offsets)
+        if times is not None:
+            raise ValueError("times is only valid for drift_map_fit results "
+                             f"(fit_type={self.fit_type!r})")
         if distributions is None:
             distributions = list(self.distribution_fits.keys())
         elif isinstance(distributions, str):
@@ -1427,13 +1464,21 @@ class Inverter:
         return float(np.percentile(rp, percentile))
 
     def predict_sigma(self, frequencies, percentile=None, times=None):
-        """(reference: inversion.py:3089-3139)"""
+        """(reference: inversion.py:3089-3139; for drift fits, ``times``
+        locates the error model at each point's measurement time)"""
         if percentile is not None and self.fit_type != "bayes":
             raise ValueError("Percentile prediction is only available for bayes_fit")
+        if times is not None and self.fit_type != "map-drift":
+            raise ValueError("times is only valid for drift_map_fit results "
+                             f"(fit_type={self.fit_type!r})")
         frequencies = np.asarray(frequencies, float)
         n_train = len(self.f_train)
-        if np.array_equal(rel_round(self.f_train, 10),
-                          rel_round(frequencies, 10)):
+        times_match = (self.fit_type != "map-drift"
+                       or (times is not None
+                           and np.array_equal(np.asarray(times, float),
+                                              getattr(self, "t_train", None))))
+        if times_match and np.array_equal(rel_round(self.f_train, 10),
+                                          rel_round(frequencies, 10)):
             if self.fit_type == "bayes" and percentile is not None:
                 st = np.percentile(self._sample_result["sigma_tot"], percentile,
                                    axis=0) * self._Z_scale
@@ -1465,7 +1510,8 @@ class Inverter:
             raise ValueError("Error scale prediction only available for "
                              "bayes_fit and map_fit")
         sigma_min = self.error_fit["sigma_min"]
-        z_pred = self.predict_Z(frequencies, percentile=percentile)
+        z_pred = self.predict_Z(frequencies, percentile=percentile,
+                                times=times)
         sigma_base = np.sqrt(sigma_res**2 + np.min(sigma_out)**2 + sigma_min**2)
         sigma_re = np.sqrt(sigma_base**2 + (alpha_prop * z_pred.real)**2
                            + (alpha_re * z_pred.real)**2
@@ -1477,10 +1523,11 @@ class Inverter:
 
     def score(self, frequencies, Z, metric="chi_sq", weights=None, part="both",
               times=None):
-        """(reference: inversion.py:3141-3160)"""
+        """(reference: inversion.py:3141-3160; ``times`` scores a drift fit
+        at each point's measurement time)"""
         Z = np.asarray(Z)
         w = self._format_weights(frequencies, Z, weights, part)
-        z_pred = self.predict_Z(frequencies)
+        z_pred = self.predict_Z(frequencies, times=times)
         if part == "both":
             z_pred = np.concatenate([z_pred.real, z_pred.imag])
             z_data = np.concatenate([Z.real, Z.imag])
@@ -1497,8 +1544,19 @@ class Inverter:
 
     def predict_distribution(self, name=None, eval_tau=None, percentile=None,
                              time=None):
-        """gamma(tau) evaluated on eval_tau (reference: inversion.py:3162-3311;
-        drift paths not included)."""
+        """gamma(tau) evaluated on eval_tau (reference: inversion.py:3162-3311,
+        incl. the drift path 3173-3296: for a drift_map_fit result, ``time``
+        selects gamma(tau, t); with time=None the static/time-zero
+        distribution is returned)."""
+        if time is not None:
+            if self.fit_type != "map-drift":
+                raise ValueError("time is only valid for drift_map_fit "
+                                 f"results (fit_type={self.fit_type!r})")
+            if percentile is not None:
+                raise ValueError("Percentile prediction is not available for "
+                                 "drift (MAP-only) fits")
+            return self.predict_distribution_drift(time, name=name,
+                                                   eval_tau=eval_tau)
         if name is None:
             name = list(self.distributions.keys())[0]
         if eval_tau is None:

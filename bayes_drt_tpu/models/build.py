@@ -43,6 +43,29 @@ def _x_sum_invscale(mode: str, n_series: int, n_parallel: int) -> float:
     return 0.0
 
 
+def z_scale_for(distributions: dict, Z, fit_type: str = "map") -> float:
+    """The reference's Z-scale rule (reference: inversion.py:2411-2443).
+
+    Default: std|Z| / sqrt(N/81) (hyperparameters calibrated at N=81). For a
+    SINGLE parallel planar-DDT distribution in a map/bayes fit, the scale
+    instead targets a calibrated admittance std: std|Y*| = 14 (transmissive)
+    or 2.4 (blocking) (reference: inversion.py:2422-2434) — the parallel
+    likelihood fits Y = A@x, so the priors are calibrated in Y* units.
+    """
+    Z = np.asarray(Z)
+    n = Z.shape[-1]
+    infos = list(distributions.values())
+    n_series = sum(1 for i in infos if i["dist_type"] == "series")
+    n_par = len(infos) - n_series
+    if n_par == 1 and n_series == 0 and fit_type != "ridge":
+        info = [i for i in infos if i["dist_type"] == "parallel"][0]
+        if info.get("kernel") == "DDT" and info.get("symmetry", "planar") == "planar":
+            ystar_std = 14.0 if info.get("bc", "transmissive") == "transmissive" else 2.4
+            ymod = np.abs(1.0 / Z)
+            return ystar_std * np.sqrt(n / 81) / np.std(ymod, axis=-1)
+    return np.std(np.abs(Z), axis=-1) / np.sqrt(n / 81)
+
+
 def sort_distributions(distributions: dict) -> list:
     """Canonical ordering: series first, then parallel, each sorted by name
     (reference sorts parallel names for Series-2Parallel,

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.matrices import (construct_A, construct_L, construct_M,
                             default_epsilon, get_tau_basis)
-from ..models.build import build_posterior
+from ..models.build import build_posterior, z_scale_for
 from ..models.posterior import constrain, init_unconstrained, log_density
 from ..infer.nuts import NUTSConfig, sample_nuts
 from ..infer.map import run_lbfgs
@@ -122,7 +122,7 @@ def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
     z_dummy = np.ones(len(frequencies)) + 0j   # replaced per spectrum via vmap
     cfg, data = build_posterior(distributions, dist_mats, frequencies, z_dummy,
                                 mode=mode, nonneg=nonneg, dtype=dtype, ncp=ncp)
-    return frequencies, first_tau, first_eps, cfg, data
+    return frequencies, first_tau, first_eps, cfg, data, distributions
 
 
 def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
@@ -163,14 +163,16 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     b, n = Z_batch.shape
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    frequencies, tau, eps, cfg, data = _build_shared(
+    frequencies, tau, eps, cfg, data, dists_norm = _build_shared(
         frequencies, basis_freq, epsilon, mode="sample" if mode == "sample" else "optimize",
         nonneg=nonneg, dtype=dtype, distributions=distributions,
         ncp=ncp and mode == "sample")
     n_dists = len(cfg.dists)
 
-    # per-spectrum scaling (reference: inversion.py:2437-2441)
-    z_scales = np.std(np.abs(Z_batch), axis=1) / np.sqrt(n / 81)
+    # per-spectrum scaling, including the calibrated Ystar admittance-std
+    # targets for a single parallel planar DDT
+    # (reference: inversion.py:2411-2443)
+    z_scales = np.atleast_1d(z_scale_for(dists_norm, Z_batch, fit_type="map"))
     Zs = Z_batch / z_scales[:, None]
     targets = jnp.asarray(np.concatenate([Zs.real, Zs.imag], axis=1), dtype=dtype)
 

@@ -69,3 +69,64 @@ def test_drift_invalid_model():
         inv.drift_map_fit(freq, Z, times, drift_model="bogus")
     with pytest.raises(ValueError):
         inv.drift_map_fit(freq, Z, times[:-2], drift_model="RQ")
+
+
+def test_drift_time_routing_through_generic_api():
+    """The generic predictors route times/time to the drift paths
+    (reference: inversion.py:2746-2940, 3173-3296): predict_Z(times=...),
+    predict_distribution(time=...), fit_peaks(time=...), score(times=...)
+    and predict_sigma(times=...) all work on a map-drift fit, and the time
+    argument is rejected for non-drift fits."""
+    freq, Z, times = make_drifting_spectrum("RQ")
+    inv = Inverter()
+    inv.drift_map_fit(freq, Z, times, drift_model="RQ", random_seed=0,
+                      n_restarts=2)
+
+    # predict_Z routes to the drift path and matches predict_Z_drift
+    z_generic = inv.predict_Z(freq, times=times)
+    np.testing.assert_allclose(z_generic, inv.predict_Z_drift(freq, times))
+    # ...and refuses to silently ignore a missing times argument
+    with pytest.raises(ValueError, match="requires times"):
+        inv.predict_Z(freq)
+
+    # predict_distribution routes time
+    tau_eval = np.logspace(-6, 1, 50)
+    g = inv.predict_distribution("DRT", eval_tau=tau_eval, time=1800.0)
+    np.testing.assert_allclose(
+        g, inv.predict_distribution_drift(1800.0, eval_tau=tau_eval))
+
+    # fit_peaks decomposes the time-t distribution: the drifting ZARC
+    # (tau ~ 0.05) must appear at t=1800 s but not at t=0
+    def slow_peak_R(t):
+        inv.fit_peaks(time=t)
+        x = inv.distribution_fits["DRT"]["peak_params"].reshape(-1, 4)
+        # rows are (R, ln tau0, alpha, beta)
+        rs = [r[0] for r in x if abs(np.log10(np.exp(r[1]) / 0.05)) < 1.5]
+        return sum(rs)
+    r_late, r_early = slow_peak_R(1800.0), slow_peak_R(0.0)
+    # the drifting ZARC (R=0.5 at saturation, k_d=1/600 -> 95% by t=1800)
+    # must show up as peak growth between t=0 and t=1800 (some of the
+    # drifting mass may be absorbed into the static x0, so gate on growth
+    # of total slow-peak magnitude, tied to the fitted R_rq)
+    r_rq = inv.distribution_fits["DRT"]["R_rq"]
+    assert r_late > 0.25, r_late
+    assert r_late > r_early + 0.25 * r_rq, (r_early, r_late, r_rq)
+
+    # score and predict_sigma accept times
+    chi_sq = inv.score(freq, Z, times=times)
+    assert np.isfinite(chi_sq) and chi_sq < 10.0
+    s_re, s_im = inv.predict_sigma(freq, times=times)
+    assert np.isfinite(s_re).all() and np.isfinite(s_im).all()
+
+    # non-drift fits reject the time arguments
+    inv2 = Inverter()
+    base = np.logspace(5, -1, 31)
+    omega = 2 * np.pi * base
+    z_static = 1.0 + 1.0 / (1 + (1j * omega * 1e-3) ** 0.85)
+    inv2.fit(base, z_static, random_seed=0, n_restarts=2)
+    with pytest.raises(ValueError, match="only valid for drift"):
+        inv2.predict_Z(base, times=np.zeros(len(base)))
+    with pytest.raises(ValueError, match="only valid for drift"):
+        inv2.predict_distribution("DRT", time=0.0)
+    with pytest.raises(ValueError, match="only valid for drift"):
+        inv2.predict_sigma(base, times=np.zeros(len(base)))

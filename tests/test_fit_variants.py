@@ -81,3 +81,52 @@ def test_part_real_imag_fit():
     idx = np.argsort(freq)[::-1]
     rel_im = np.abs(z_hat.imag[np.argsort(np.argsort(freq)[::-1])] - Z.imag)
     assert np.isfinite(z_hat).all()
+
+
+def test_add_model_data_overrides():
+    """The add_stan_data equivalent (reference: inversion.py:1143-1145):
+    overriding PosteriorData fields changes the fitted model end-to-end."""
+    freq, Z = load("Z_ZARC_uniform_1.0.csv")
+    inv = Inverter()
+    inv.fit(freq, Z, outliers=True, random_seed=0, n_restarts=2,
+            add_model_data={"ups_alpha": 0.5, "sigma_out_lambda": 5.0})
+    cfg, data = inv._posterior
+    assert float(data.ups_alpha) == 0.5
+    assert float(data.sigma_out_lambda) == 5.0
+    lp_override = inv._opt_result["lp__"]
+    coef_override = inv.distribution_fits["DRT"]["coef"].copy()
+
+    inv2 = Inverter()
+    inv2.fit(freq, Z, outliers=True, random_seed=0, n_restarts=2)
+    assert float(inv2._posterior[1].ups_alpha) == 0.05  # optimize default
+    # the override must actually change the optimum
+    assert not np.allclose(coef_override, inv2.distribution_fits["DRT"]["coef"])
+    assert lp_override != inv2._opt_result["lp__"]
+
+    with pytest.raises(ValueError, match="Unknown PosteriorData fields"):
+        inv.fit(freq, Z, add_model_data={"not_a_field": 1.0})
+
+
+def test_custom_log_density():
+    """The model_str equivalent (reference: inversion.py:1146-1147): a
+    user-supplied log density replaces the built-in model while reusing
+    matrices, scaling, solvers and extraction."""
+    from bayes_drt_tpu.models.posterior import log_density
+
+    calls = {"n": 0}
+
+    def tight_rinf_density(cfg, data, params, jacobian=True):
+        # built-in model plus a hard prior pinning R_inf near 2 (scaled)
+        calls["n"] += 1
+        import jax.numpy as jnp
+        rinf = jnp.exp(params["Rinf_raw"]) * 100.0
+        return (log_density(cfg, data, params, jacobian=jacobian)
+                - 0.5 * ((rinf - 2.0) / 0.001) ** 2)
+
+    freq, Z = load("Z_ZARC_uniform_1.0.csv")
+    inv = Inverter()
+    inv.fit(freq, Z, random_seed=0, n_restarts=2,
+            log_density_fn=tight_rinf_density)
+    assert calls["n"] > 0
+    # the custom prior pins the SCALED R_inf at 2 -> unscaled 2 * Z_scale
+    assert abs(inv.R_inf / inv._Z_scale - 2.0) < 0.01

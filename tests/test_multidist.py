@@ -1,5 +1,12 @@
 """Multi-distribution and DDT workloads (reference Tutorial 5 /
-"Run fits.ipynb" Series-Parallel cells)."""
+"Run fits.ipynb" Series-Parallel and Series-2Parallel cells).
+
+Accuracy gates are tied to the reference's OWN recovery error: each test
+computes the RMSE of the committed reference fit (code_EchemActa/map_results
+or bayes_results Gout_*.csv) against the simulation ground truth and
+requires this implementation to land within 1.5x of it — the same
+reference-relative standard as test_reference_regression.py.
+"""
 
 import numpy as np
 import pandas as pd
@@ -13,6 +20,46 @@ def load(name):
     return df["Freq"].values, df["Zreal"].values + 1j * df["Zimag"].values
 
 
+def ref_errors(result_dir, workload, cols):
+    """RMSE of the committed reference fit vs ground truth, per column
+    (gamma=DRT, ftp=TP-DDT, fbp=BP-DDT), evaluated on the truth tau grid."""
+    gt = pd.read_csv(f"/root/reference/data/simulated/gamma_{workload}.csv")
+    out = pd.read_csv(
+        f"/root/reference/code_EchemActa/{result_dir}/Gout_{workload}_uniform_0.25.csv")
+    errs = {}
+    for c in cols:
+        g = np.interp(np.log(gt["tau"].values), np.log(out["tau"].values),
+                      out[c].values)
+        errs[c] = np.sqrt(np.mean((g - gt[c].values) ** 2))
+    return gt, errs
+
+
+def recovered_errors(inv, gt, name_cols):
+    errs = {}
+    for name, col in name_cols:
+        g = inv.predict_distribution(name, eval_tau=gt["tau"].values)
+        errs[col] = np.sqrt(np.mean((g - gt[col].values) ** 2))
+    return errs
+
+
+SP_DISTS = {
+    "DRT": {"kernel": "DRT", "basis_freq": np.logspace(6, -2, 81)},
+    "TP-DDT": {"kernel": "DDT", "symmetry": "planar", "bc": "transmissive",
+               "dist_type": "parallel",
+               "basis_freq": np.logspace(6, -2, 81), "x_scale": 0.8},
+}
+
+
+def s2p_dists(x_scale_tp, x_scale_bp):
+    return {
+        "DRT": {"kernel": "DRT"},
+        "TP-DDT": {"kernel": "DDT", "symmetry": "planar", "bc": "transmissive",
+                   "dist_type": "parallel", "x_scale": x_scale_tp},
+        "BP-DDT": {"kernel": "DDT", "symmetry": "planar", "bc": "blocking",
+                   "dist_type": "parallel", "x_scale": x_scale_bp},
+    }
+
+
 def test_pure_ddt_map_fit():
     """Transmissive-planar DDT fit (Tutorial 5 workload)."""
     freq, Z = load("Z_BimodalTP-DDT_uniform_0.05.csv")
@@ -24,26 +71,29 @@ def test_pure_ddt_map_fit():
     assert inv.fit_type == "map"
     assert inv.stan_model_name.startswith("Parallel")
 
+    # reference-relative gate: the committed reference MAP fit of the SAME
+    # spectrum recovers with RMSE ~0.158*scale (map_results/Gout_BimodalTP-
+    # DDT_uniform_0.05.csv); require <= 1.5x that
     gt = pd.read_csv("/root/reference/data/simulated/gamma_BimodalTP-DDT.csv")
+    out = pd.read_csv("/root/reference/code_EchemActa/map_results/"
+                      "Gout_BimodalTP-DDT_uniform_0.05.csv")
+    g_ref = np.interp(np.log(gt["tau"].values), np.log(out["tau"].values),
+                      out["gamma"].values)
+    ref_rmse = np.sqrt(np.mean((g_ref - gt["gamma"].values) ** 2))
     gamma = inv.predict_distribution("DDT", eval_tau=gt["tau"].values)
-    scale = np.max(np.abs(gt["gamma"].values))
     rmse = np.sqrt(np.mean((gamma - gt["gamma"].values) ** 2))
-    assert rmse < 0.25 * scale, rmse
+    assert rmse < 1.5 * ref_rmse, (rmse, ref_rmse)
 
     z_hat = inv.predict_Z(freq)
     assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.02
 
 
 def test_series_parallel_map_fit():
-    """Simultaneous DRT + TP-DDT inversion (Series-Parallel model)."""
+    """Simultaneous DRT + TP-DDT inversion (Series-Parallel model),
+    reference config from "Run fits.ipynb" cell 20/21 (sp_dr)."""
     freq, Z = load("Z_DRT-2-TpDDT_uniform_0.25.csv")
-    inv = Inverter(distributions={
-        "DRT": {"kernel": "DRT", "basis_freq": np.logspace(6, -2, 81)},
-        "TP-DDT": {"kernel": "DDT", "symmetry": "planar", "bc": "transmissive",
-                   "dist_type": "parallel",
-                   "basis_freq": np.logspace(6, -2, 81), "x_scale": 0.8},
-    })
-    inv.fit(freq, Z, nonneg=True, random_seed=2, n_restarts=3)
+    inv = Inverter(distributions=SP_DISTS)
+    inv.fit(freq, Z, nonneg=True, random_seed=2, n_restarts=8)
     assert inv.stan_model_name.startswith("Series-Parallel")
     assert set(inv.distribution_fits) == {"DRT", "TP-DDT"}
 
@@ -51,13 +101,79 @@ def test_series_parallel_map_fit():
     z_hat = inv.predict_Z(freq)
     assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.03
 
-    # recovered DDT should carry most of the low-frequency polarization;
-    # compare against the committed truth columns (gamma=DRT, ftp=DDT)
-    gt = pd.read_csv("/root/reference/data/simulated/gamma_DRT-2-TpDDT.csv")
-    g_drt = inv.predict_distribution("DRT", eval_tau=gt["tau"].values)
-    scale = np.max(np.abs(gt["gamma"].values))
-    rmse = np.sqrt(np.mean((g_drt - gt["gamma"].values) ** 2))
-    assert rmse < 0.5 * scale, rmse
+    gt, ref = ref_errors("map_results", "DRT-2-TpDDT", ["gamma", "ftp"])
+    got = recovered_errors(inv, gt, [("DRT", "gamma"), ("TP-DDT", "ftp")])
+    for col in ("gamma", "ftp"):
+        assert got[col] < 1.5 * ref[col], (col, got[col], ref[col])
+
+
+def test_series_parallel_sampling():
+    """Series-Parallel HMC at the reference budget (2 chains x 200+200) vs
+    the committed bayes_results for DRT-2-TpDDT (reference:
+    inversion.py:1886-1959, "Run fits.ipynb" MCMC cell)."""
+    freq, Z = load("Z_DRT-2-TpDDT_uniform_0.25.csv")
+    inv = Inverter(distributions=SP_DISTS)
+    inv.fit(freq, Z, mode="sample", nonneg=True, random_seed=42,
+            warmup=200, samples=200, chains=2, max_tree_depth=8)
+    assert inv.fit_type == "bayes"
+    assert inv.sample_diagnostics["divergence_rate"] < 0.05
+
+    gt, ref = ref_errors("bayes_results", "DRT-2-TpDDT", ["gamma", "ftp"])
+    got = recovered_errors(inv, gt, [("DRT", "gamma"), ("TP-DDT", "ftp")])
+    for col in ("gamma", "ftp"):
+        assert got[col] < 1.5 * ref[col], (col, got[col], ref[col])
+
+    # credible intervals exist and bracket the posterior mean
+    lo = inv.predict_distribution("DRT", eval_tau=gt["tau"].values, percentile=2.5)
+    hi = inv.predict_distribution("DRT", eval_tau=gt["tau"].values, percentile=97.5)
+    mean = inv.predict_distribution("DRT", eval_tau=gt["tau"].values)
+    assert (lo <= mean + 1e-9).all() and (mean <= hi + 1e-9).all()
+
+
+def test_series_2parallel_map_fit():
+    """Three-distribution MAP fit (DRT + TP-DDT + BP-DDT), reference config
+    from "Run fits.ipynb" cells 20-21: basis logspace(6,-2.4,85),
+    xp_scale 1 (BP) / 0.8 (TP), nonneg. The posterior is multimodal from
+    random inits (Stan shares this); 8 vmapped restarts select the best
+    optimum, which lands at/below the reference's own recovery error."""
+    freq, Z = load("Z_DRT-TpDDT-BpDDT_uniform_0.25.csv")
+    inv = Inverter(basis_freq=np.logspace(6, -2.4, 85),
+                   distributions=s2p_dists(x_scale_tp=0.8, x_scale_bp=1.0))
+    inv.fit(freq, Z, nonneg=True, random_seed=0, n_restarts=8)
+    assert inv.stan_model_name.startswith("Series-2Parallel")
+    assert set(inv.distribution_fits) == {"DRT", "TP-DDT", "BP-DDT"}
+
+    z_hat = inv.predict_Z(freq)
+    assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.02
+
+    gt, ref = ref_errors("map_results", "DRT-TpDDT-BpDDT",
+                         ["gamma", "ftp", "fbp"])
+    got = recovered_errors(inv, gt, [("DRT", "gamma"), ("TP-DDT", "ftp"),
+                                     ("BP-DDT", "fbp")])
+    for col in ("gamma", "ftp", "fbp"):
+        assert got[col] < 1.5 * ref[col], (col, got[col], ref[col])
+
+
+def test_series_2parallel_sampling():
+    """Three-distribution HMC (Series-2Parallel model) vs the committed
+    bayes_results: reference config from "Run fits.ipynb" cell 22
+    (basis logspace(6,-2,81), xp scales 0.5/0.5)."""
+    freq, Z = load("Z_DRT-TpDDT-BpDDT_uniform_0.25.csv")
+    inv = Inverter(basis_freq=np.logspace(6, -2, 81),
+                   distributions=s2p_dists(x_scale_tp=0.5, x_scale_bp=0.5))
+    inv.fit(freq, Z, mode="sample", nonneg=True, random_seed=42,
+            warmup=200, samples=200, chains=2, max_tree_depth=8)
+    assert inv.sample_diagnostics["divergence_rate"] < 0.05
+
+    z_hat = inv.predict_Z(freq)
+    assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.02
+
+    gt, ref = ref_errors("bayes_results", "DRT-TpDDT-BpDDT",
+                         ["gamma", "ftp", "fbp"])
+    got = recovered_errors(inv, gt, [("DRT", "gamma"), ("TP-DDT", "ftp"),
+                                     ("BP-DDT", "fbp")])
+    for col in ("gamma", "ftp", "fbp"):
+        assert got[col] < 1.5 * ref[col], (col, got[col], ref[col])
 
 
 def test_blocking_ddt_scaling_branch():
@@ -69,6 +185,10 @@ def test_blocking_ddt_scaling_branch():
                 "dist_type": "parallel",
                 "basis_freq": np.logspace(6, -3, 91)}})
     inv.fit(freq, Z, random_seed=1, n_restarts=3)
+    # the scale targets std|Y*| = 2.4 * sqrt(N/81) for blocking planar DDT
+    ystar = (1.0 / (Z / inv._Z_scale))
+    np.testing.assert_allclose(np.std(np.abs(ystar)),
+                               2.4 * np.sqrt(len(Z) / 81), rtol=1e-10)
     z_hat = inv.predict_Z(freq)
     # blocking DDT diverges at low frequency; check relative accuracy
     assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.05

@@ -93,13 +93,28 @@ def test_batched_ddt_fit():
                                "basis_freq": np.logspace(6, -3, 91)}})
     assert res.coef.shape == (2, 91)
     assert np.isfinite(res.coef).all()
+    # the batch path must apply the calibrated Ystar admittance scaling for
+    # single parallel planar DDT (reference: inversion.py:2422-2434), so its
+    # z_scale matches the single-spectrum Inverter exactly
+    from bayes_drt_tpu import Inverter
+    inv = Inverter(distributions={
+        "DDT": {"kernel": "DDT", "symmetry": "planar", "bc": "transmissive",
+                "dist_type": "parallel",
+                "basis_freq": np.logspace(6, -3, 91)}})
+    inv.fit(freq, Z, random_seed=3, n_restarts=3)
+    np.testing.assert_allclose(res.z_scales[0], inv._Z_scale, rtol=1e-12)
     # coefficient scale must be physical (guards the parallel-dist rescale
-    # direction: coef = scaled_coef / z_scale, not * z_scale)
+    # direction: coef = scaled_coef / z_scale, not * z_scale), and with the
+    # calibrated priors the recovery matches the single-spectrum gate
     gt = pd.read_csv("/root/reference/data/simulated/gamma_BimodalTP-DDT.csv")
     g = evaluate_gamma(res, gt["tau"].values)
     scale = np.max(np.abs(gt["gamma"].values))
     rmse = np.sqrt(np.mean((g[0] - gt["gamma"].values) ** 2))
-    assert rmse < 0.5 * scale, rmse
+    assert rmse < 0.25 * scale, rmse
+    # batched fit quality ~ single-spectrum Inverter fit quality
+    g_single = inv.predict_distribution("DDT", eval_tau=gt["tau"].values)
+    rmse_single = np.sqrt(np.mean((g_single - gt["gamma"].values) ** 2))
+    assert rmse < max(1.5 * rmse_single, 0.05 * scale), (rmse, rmse_single)
 
 
 def test_ragged_pipeline_native_to_batch():
