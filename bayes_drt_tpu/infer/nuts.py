@@ -62,6 +62,18 @@ class NUTSConfig(NamedTuple):
                                   # equal up to FP reassociation of the
                                   # step-size adaptation; see
                                   # _sample_nuts_fused)
+    tree_scan: bool = False       # run the flat tree builder as a
+                                  # STATIC-length lax.scan (2^max_depth - 1
+                                  # iterations, alive-masked) instead of a
+                                  # while_loop. Bit-identical draws. Fastest
+                                  # form under a large vmapped batch: a
+                                  # vmapped while_loop already runs to the
+                                  # batch-max trip count but pays a per-
+                                  # iteration sync/dispatch cost that scan
+                                  # pipelines away (measured ~2x on the
+                                  # saturated-tree DRT bench); prefer the
+                                  # while_loop for single chains with short
+                                  # trajectories. Implies flat_tree.
 
 
 class _EdgeState(NamedTuple):
@@ -410,7 +422,8 @@ def _flat_alive(st: _FlatState, max_depth: int):
 
 def nuts_transition_flat(value_and_grad: Callable, q, logp, grad, key, eps,
                          m_inv, max_depth: int = 10,
-                         max_energy_error: float = 1000.0, mass_chol=None):
+                         max_energy_error: float = 1000.0, mass_chol=None,
+                         tree_scan: bool = False):
     """One NUTS draw built with a SINGLE while_loop over leapfrog steps.
 
     Mathematically identical to ``nuts_transition`` (same RNG stream, same
@@ -431,11 +444,25 @@ def nuts_transition_flat(value_and_grad: Callable, q, logp, grad, key, eps,
     pow2 = jnp.left_shift(1, jnp.arange(kd))
 
     init = _flat_init(q, logp, grad, p0, _kinetic(p0, m_inv), key_tree, kd)
-    st = jax.lax.while_loop(
-        lambda s: _flat_alive(s, max_depth),
-        lambda s: _flat_body(value_and_grad, s, eps, m_inv, H0, pow2,
-                             max_energy_error),
-        init)
+    if tree_scan:
+        # static trip count: a NUTS tree at max_depth visits at most
+        # 2^max_depth - 1 leaves (subtree sizes 1, 2, ..., 2^(max_depth-1)).
+        # Finished trees are frozen by the alive mask; the wasted leapfrogs
+        # cost nothing extra under a large vmap (a vmapped while_loop runs
+        # to the batch max anyway) and the scan pipelines across iterations.
+        def scan_body(s, _):
+            s_new = _flat_body(value_and_grad, s, eps, m_inv, H0, pow2,
+                               max_energy_error)
+            return _sel(_flat_alive(s, max_depth), s_new, s), None
+
+        st, _ = jax.lax.scan(scan_body, init, None,
+                             length=(1 << max_depth) - 1)
+    else:
+        st = jax.lax.while_loop(
+            lambda s: _flat_alive(s, max_depth),
+            lambda s: _flat_body(value_and_grad, s, eps, m_inv, H0, pow2,
+                                 max_energy_error),
+            init)
 
     accept_prob = st.sum_acc / jnp.maximum(st.n_leaves, 1)
     energy = -st.prop_logp + st.prop_kin
@@ -841,11 +868,12 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
         is_warm, slow, wend = xs
         key, k_step = jax.random.split(key)
         eps = jnp.where(is_warm, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar))
-        if cfg.flat_tree:
+        if cfg.flat_tree or cfg.tree_scan:
             q, logp, grad, info = nuts_transition_flat(
                 value_and_grad, q, logp, grad, k_step, eps, m_inv,
                 max_depth=cfg.max_depth,
-                max_energy_error=cfg.max_energy_error, mass_chol=chol)
+                max_energy_error=cfg.max_energy_error, mass_chol=chol,
+                tree_scan=cfg.tree_scan)
         else:
             q, logp, grad, info = nuts_transition(
                 value_and_grad, q, logp, grad, k_step, eps, m_inv,

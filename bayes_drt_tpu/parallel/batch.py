@@ -47,6 +47,29 @@ def _pad_pow2(Z_batch, min_size: int = 8):
     return np.concatenate([Z_batch, pad], axis=0), b
 
 
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_MAX = 64
+
+
+def _cached_program(key, builder):
+    """Program cache across fit_spectra_* calls.
+
+    Rebuilding the fit closures on every call would make jax.jit re-TRACE
+    the whole batched sampler each time (measured ~6-7 s of Python tracing
+    per bench call — formerly ~55% of wall-clock, misattributed as per-draw
+    cost). The cache key pins everything that shapes the traced computation
+    (model config, array shapes/dtypes, solver budgets, mesh); array VALUES
+    are passed as jit arguments, so one cached program serves every batch
+    with the same structure."""
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+        fn = builder()
+        _PROGRAM_CACHE[key] = fn
+    return fn
+
+
 class BatchFitResult(NamedTuple):
     """Results for a batch of spectra."""
     coef: np.ndarray          # (B, K) posterior-mean (sample) or MAP coefficients, rescaled
@@ -135,7 +158,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       pilot_warmup: int = 50, pilot_samples: int = 25,
                       ncp: bool = False, unroll: int = 1,
                       flat_tree: bool = False,
-                      fused_draws: bool = False) -> BatchFitResult:
+                      fused_draws: bool = False,
+                      tree_scan: bool = False) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
     Z_batch: complex array (B, N). mode='sample' runs ``chains`` NUTS chains
@@ -182,19 +206,20 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     key = jax.random.PRNGKey(random_seed)
     spectrum_keys = jax.random.split(key, b)
 
-    def logp_for(target):
-        d = data._replace(target=target)
+    def logp_for(dat, target):
+        d = dat._replace(target=target)
         return lambda q: log_density(cfg, d, unravel(q), jacobian=(mode == "sample"))
 
     if mode == "sample":
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
-                              flat_tree=flat_tree, fused_draws=fused_draws)
+                              flat_tree=flat_tree, fused_draws=fused_draws,
+                              tree_scan=tree_scan)
 
-        def summarize(draws, info):
+        def summarize(dat, draws, info):
             flat = draws.reshape(-1, draws.shape[-1])
-            xs = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["x_0"])(flat)
-            rinf = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["Rinf"])(flat)
-            induc = jax.vmap(lambda q: constrain(cfg, data, unravel(q))["induc"])(flat)
+            xs = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["x_0"])(flat)
+            rinf = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["Rinf"])(flat)
+            induc = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["induc"])(flat)
             # split-Rhat of the per-chain log density: a cheap scalar
             # convergence check per spectrum
             lp = info["logp"]                             # (chains, samples)
@@ -217,36 +242,38 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 "logp_rhat": lp_rhat,
             }
             for i in range(1, n_dists):
-                xi = jax.vmap(lambda q: constrain(cfg, data, unravel(q))[f"x_{i}"])(flat)
+                xi = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))[f"x_{i}"])(flat)
                 out[f"coef_{i}"] = xi.mean(axis=0)
             return out
 
-        def fit_one(target, skey):
-            logp = logp_for(target)
+        def fit_one(target, skey, dat):
+            logp = logp_for(dat, target)
 
             def one_chain(ckey):
                 k_init, k_run = jax.random.split(ckey)
-                p0 = init_unconstrained(cfg, data._replace(target=target), k_init)
+                p0 = init_unconstrained(cfg, dat._replace(target=target), k_init)
                 q0, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
                 return sample_nuts(logp, q0, k_run, warmup=warmup,
                                    samples=samples, cfg=nuts_cfg)
 
             draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains))
-            return summarize(draws, info)
+            return summarize(dat, draws, info)
+
+        prog_extra = (nuts_cfg, chains, warmup, samples)
     else:
-        def fit_one(target, skey):
-            logp = logp_for(target)
+        def fit_one(target, skey, dat):
+            logp = logp_for(dat, target)
             loss = lambda q: -logp(q)
 
             def one_restart(rkey):
-                p0 = init_unconstrained(cfg, data._replace(target=target), rkey)
+                p0 = init_unconstrained(cfg, dat._replace(target=target), rkey)
                 q0, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
                 return run_lbfgs(loss, q0, max_iter=max_iter)
 
             res = jax.vmap(one_restart)(jax.random.split(skey, n_restarts))
             best = jnp.argmin(jnp.where(jnp.isfinite(res.value), res.value, jnp.inf))
             q_best = res.params[best]
-            c = constrain(cfg, data, unravel(q_best))
+            c = constrain(cfg, dat, unravel(q_best))
             out = {
                 "coef": c["x_0"],
                 "coef_lo": c["x_0"],
@@ -260,15 +287,21 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 out[f"coef_{i}"] = c[f"x_{i}"]
             return out
 
+        prog_extra = (n_restarts, max_iter)
+
+    data_shapes = tuple((tuple(a.shape), str(a.dtype))
+                        for a in jax.tree.leaves(data))
+    base_key = ("fit_spectra_batch", mode, cfg, data_shapes, prog_extra, mesh)
+
     extra_args = ()
     if mode == "sample" and precondition == "pooled":
         # ---- stage 1: short diagonal-metric pilot over the whole batch ----
-        def pilot_one(target, skey):
-            logp = logp_for(target)
+        def pilot_one(target, skey, dat):
+            logp = logp_for(dat, target)
 
             def one_chain(ckey):
                 k_init, k_run = jax.random.split(ckey)
-                p0 = init_unconstrained(cfg, data._replace(target=target), k_init)
+                p0 = init_unconstrained(cfg, dat._replace(target=target), k_init)
                 q0, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
                 draws, _ = sample_nuts(logp, q0, k_run, warmup=pilot_warmup,
                                        samples=pilot_samples, cfg=nuts_cfg)
@@ -276,14 +309,20 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
 
             return jax.vmap(one_chain)(jax.random.split(skey, chains))
 
-        pilot_fn = jax.jit(jax.vmap(pilot_one))
+        def build_pilot():
+            fn = jax.vmap(pilot_one, in_axes=(0, 0, None))
+            if mesh is not None:
+                return jax.jit(fn,
+                               out_shardings=NamedSharding(mesh, P("spectra")))
+            return jax.jit(fn)
+
         if mesh is not None:
             sh = NamedSharding(mesh, P("spectra", None))
             targets = jax.device_put(targets, sh)
             spectrum_keys = jax.device_put(spectrum_keys, sh)
-            pilot_fn = jax.jit(jax.vmap(pilot_one),
-                               out_shardings=NamedSharding(mesh, P("spectra")))
-        pilot = pilot_fn(targets, spectrum_keys)
+        pilot_fn = _cached_program(
+            base_key + ("pilot", pilot_warmup, pilot_samples), build_pilot)
+        pilot = pilot_fn(targets, spectrum_keys, data)
         q0_main = pilot[:, :, -1, :]
 
         # ---- pooled within-chain covariance -> one shared dense metric ----
@@ -312,29 +351,40 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         main_warmup = max(20, warmup - pilot_warmup - pilot_samples)
         main_cfg = NUTSConfig(max_depth=max_tree_depth, adapt_mass=False,
                               unroll=unroll, flat_tree=flat_tree,
-                              fused_draws=fused_draws)
+                              fused_draws=fused_draws, tree_scan=tree_scan)
 
-        def fit_one(target, skey, q0c):    # noqa: F811 — pooled-path override
-            logp = logp_for(target)
+        def fit_one(target, skey, q0c, dat, m_inv, chol):  # noqa: F811 — pooled-path override
+            logp = logp_for(dat, target)
 
             def one_chain(ckey, q0):
-                # the shared metric is closed over, NOT vmapped: one (D, D)
-                # matrix for the whole batch, so velocity updates become MXU
-                # matmuls with no per-element metric traffic
+                # the shared metric is passed with in_axes=None, NOT vmapped:
+                # one (D, D) matrix for the whole batch, so velocity updates
+                # become MXU matmuls with no per-element metric traffic
                 return sample_nuts(logp, q0, ckey, warmup=main_warmup,
                                    samples=samples, cfg=main_cfg,
-                                   metric=(m_inv_j, chol_j))
+                                   metric=(m_inv, chol))
 
             draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains),
                                               q0c)
-            return summarize(draws, info)
+            return summarize(dat, draws, info)
 
         spectrum_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(spectrum_keys)
         extra_args = (q0_main,)
+        shared_args = (data, m_inv_j, chol_j)
+        fit_in_axes = (0, 0, 0, None, None, None)
+        prog_key = base_key + ("pooled-main", main_cfg, main_warmup, samples)
+    else:
+        shared_args = (data,)
+        fit_in_axes = (0, 0, None)
+        prog_key = base_key
 
-    batched = jax.jit(jax.vmap(fit_one))
+    def build_fit():
+        fn = jax.vmap(fit_one, in_axes=fit_in_axes)
+        if mesh is not None:
+            return jax.jit(fn, out_shardings=NamedSharding(mesh, P("spectra")))
+        return jax.jit(fn)
+
     if mesh is not None:
-        spec = NamedSharding(mesh, P("spectra"))
         targets = jax.device_put(targets, NamedSharding(mesh, P("spectra", None)))
         spectrum_keys = jax.device_put(spectrum_keys,
                                        NamedSharding(mesh, P("spectra", None)))
@@ -342,9 +392,9 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             jax.device_put(a, NamedSharding(mesh, P(*(["spectra"]
                                                       + [None] * (a.ndim - 1)))))
             for a in extra_args)
-        batched = jax.jit(jax.vmap(fit_one), out_shardings=spec)
+    batched = _cached_program(prog_key, build_fit)
 
-    out = batched(targets, spectrum_keys, *extra_args)
+    out = batched(targets, spectrum_keys, *extra_args, *shared_args)
     out = {k: np.asarray(v)[:b_real] for k, v in out.items()}
     z_scales = z_scales[:b_real]
 
@@ -379,7 +429,8 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                        max_tree_depth: int = 10, dtype=None,
                        ncp: bool = False, unroll: int = 1,
                       flat_tree: bool = False,
-                      fused_draws: bool = False) -> BatchFitResult:
+                      fused_draws: bool = False,
+                      tree_scan: bool = False) -> BatchFitResult:
     """Fit spectra with DIFFERENT frequency grids in one XLA program.
 
     ``spectra``: list of (frequencies, Z) pairs. Grids are padded to a
@@ -445,16 +496,14 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
     _, unravel = ravel_pytree(template)
     keys = jax.random.split(jax.random.PRNGKey(random_seed), b)
 
-    def make_data(A_stack, target, freq_row, mask_row):
-        return data0._replace(A=(A_stack,), target=target, freq=freq_row,
-                              lik_mask=mask_row)
-
     if mode == "sample":
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
-                              flat_tree=flat_tree, fused_draws=fused_draws)
+                              flat_tree=flat_tree, fused_draws=fused_draws,
+                              tree_scan=tree_scan)
 
-        def fit_one(A_stack, target, freq_row, mask_row, skey):
-            d = make_data(A_stack, target, freq_row, mask_row)
+        def fit_one(A_stack, target, freq_row, mask_row, skey, dat):
+            d = dat._replace(A=(A_stack,), target=target, freq=freq_row,
+                             lik_mask=mask_row)
             logp = lambda q: log_density(cfg, d, unravel(q), jacobian=True)
 
             def one_chain(ckey):
@@ -474,9 +523,11 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                     "coef_hi": jnp.percentile(xs, 97.5, axis=0),
                     "r_inf": rinf.mean(), "induc": induc.mean(),
                     "divergence_rate": info["diverging"].mean()}
+        prog_extra = (nuts_cfg, chains, warmup, samples)
     else:
-        def fit_one(A_stack, target, freq_row, mask_row, skey):
-            d = make_data(A_stack, target, freq_row, mask_row)
+        def fit_one(A_stack, target, freq_row, mask_row, skey, dat):
+            d = dat._replace(A=(A_stack,), target=target, freq=freq_row,
+                             lik_mask=mask_row)
             loss = lambda q: -log_density(cfg, d, unravel(q), jacobian=False)
 
             def one_restart(rkey):
@@ -492,15 +543,25 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                     "r_inf": c["Rinf"], "induc": c["induc"],
                     "value": res.value[best]}
 
+    if mode != "sample":
+        prog_extra = (n_restarts, max_iter)
     args = (jnp.asarray(A_stacks, dtype), jnp.asarray(targets, dtype),
             jnp.asarray(freq_pad, dtype), jnp.asarray(masks2, dtype), keys)
-    batched = jax.jit(jax.vmap(fit_one))
+    data_shapes = tuple((tuple(a.shape), str(a.dtype))
+                        for a in jax.tree.leaves(data0))
+    prog_key = ("fit_spectra_ragged", mode, cfg, data_shapes, prog_extra, mesh)
+
+    def build_fit():
+        fn = jax.vmap(fit_one, in_axes=(0, 0, 0, 0, 0, None))
+        if mesh is not None:
+            return jax.jit(fn, out_shardings=NamedSharding(mesh, P("spectra")))
+        return jax.jit(fn)
+
     if mesh is not None:
-        sh = NamedSharding(mesh, P("spectra"))
         args = tuple(jax.device_put(a, NamedSharding(
             mesh, P(*(["spectra"] + [None] * (a.ndim - 1))))) for a in args)
-        batched = jax.jit(jax.vmap(fit_one), out_shardings=sh)
-    out = {kk: np.asarray(v) for kk, v in batched(*args).items()}
+    batched = _cached_program(prog_key, build_fit)
+    out = {kk: np.asarray(v) for kk, v in batched(*args, data0).items()}
 
     scale = z_scales[:, None]
     diagnostics = {kk: out[kk] for kk in out

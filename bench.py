@@ -8,8 +8,12 @@ change of variables targeting the identical posterior) which cuts the
 recovery error ~3x at this budget vs the centered form, and max_tree_depth
 6 — measured back-to-back, depth 6 is ~1.7x faster than depth 8 with the
 recovered-gamma RMSE unchanged within the accuracy gate (1.6% vs 1.4% of
-Rp; the gate requires < 3%) — and the flat single-loop tree builder
-(another ~15-20% at depth 6, bit-identical draws).
+Rp; the gate requires < 3%) — and the flat tree builder lowered as a
+static-length scan (tree_scan=True, bit-identical draws to the reference
+recursive algorithm). The warm-up call also primes the cross-call program
+cache (parallel/batch._cached_program), so the timed run measures pure
+device execution: Python re-tracing used to cost ~6-7 s/call (~55% of
+wall-clock, round-1's misattributed "fixed per-draw cost").
 
 Baseline: the reference fits ONE spectrum with Stan NUTS at 4 chains x
 (500+500) in 515.5 s on CPU (BASELINE.md, code_EchemActa/"Run fits.ipynb"
@@ -59,13 +63,13 @@ def main():
     # timed run measures sampling, not XLA compilation
     fit_spectra_batch(freq, Zb, mode="sample", chains=CHAINS, warmup=WARMUP,
                       samples=SAMPLES, max_tree_depth=MAX_DEPTH, random_seed=0,
-                      ncp=True, flat_tree=True)
+                      ncp=True, tree_scan=True)
 
     t0 = time.time()
     res = fit_spectra_batch(freq, Zb, mode="sample", chains=CHAINS,
                             warmup=WARMUP, samples=SAMPLES,
                             max_tree_depth=MAX_DEPTH, random_seed=1, ncp=True,
-                            flat_tree=True)
+                            tree_scan=True)
     elapsed = time.time() - t0
 
     # correctness gate

@@ -227,3 +227,32 @@ def test_fused_draws_matches_flat_tree():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(i2["inv_mass"]),
                                np.asarray(i1["inv_mass"]), rtol=1e-6)
+
+
+def test_tree_scan_matches_flat_tree():
+    """The static-length scan tree builder (tree_scan=True) must reproduce
+    the while_loop flat builder bit-for-bit: identical RNG stream, identical
+    tree shapes, identical draws — the alive mask freezes finished trees
+    through the remaining scan iterations without touching their state."""
+    d = 10
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((d, d))
+    cov = A @ A.T + 0.5 * np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(q):
+        return -0.5 * q @ (prec @ q)
+
+    d1, i1 = sample_nuts(logp, jnp.ones(d), jax.random.PRNGKey(5),
+                         warmup=50, samples=50,
+                         cfg=NUTSConfig(max_depth=6, flat_tree=True))
+    d2, i2 = sample_nuts(logp, jnp.ones(d), jax.random.PRNGKey(5),
+                         warmup=50, samples=50,
+                         cfg=NUTSConfig(max_depth=6, tree_scan=True))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(i2["n_leapfrog"]),
+                                  np.asarray(i1["n_leapfrog"]))
+    np.testing.assert_array_equal(np.asarray(i2["diverging"]),
+                                  np.asarray(i1["diverging"]))
+    np.testing.assert_array_equal(np.asarray(i2["inv_mass"]),
+                                  np.asarray(i1["inv_mass"]))
