@@ -271,9 +271,13 @@ class _FlatState(NamedTuple):
     sprop_kin: jax.Array
     slogw: jax.Array
     srho: jax.Array
-    v_ck: jax.Array
-    rho_ck: jax.Array
-    sfirst: _EdgeState
+    v_ck: jax.Array           # (max_depth, dim): checkpoint velocities for
+    rho_ck: jax.Array         # subtree sizes 2^1..2^max_depth (size-1
+                              # subtrees never run a U-turn check, so row 0
+                              # of the classic scheme is omitted)
+    sfirst_p: jax.Array       # momentum of the subtree's first leaf (only
+                              # .p of the first state feeds the cross-
+                              # subtree turn checks)
     sturn: jax.Array
     sdiv: jax.Array
     ssum: jax.Array
@@ -286,13 +290,13 @@ def _sel(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def _flat_init(q, logp, grad, p0, kin0, key_tree, kd: int) -> _FlatState:
+def _flat_init(q, logp, grad, p0, kin0, key_tree, n_ck: int) -> _FlatState:
     """Fresh transition state at the start of a draw (momentum p0 already
-    sampled; kin0 = kinetic(p0))."""
+    sampled; kin0 = kinetic(p0)). ``n_ck`` = max_depth checkpoint rows."""
     dim = q.shape[0]
     dtype = q.dtype
     z0 = _EdgeState(q=q, p=p0, grad=grad, logp=logp)
-    zeros_ck = jnp.zeros((kd, dim), dtype)
+    zeros_ck = jnp.zeros((n_ck, dim), dtype)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     fdt = lambda v: jnp.asarray(v, dtype)
     return _FlatState(
@@ -303,7 +307,7 @@ def _flat_init(q, logp, grad, p0, kin0, key_tree, kd: int) -> _FlatState:
         i=i32(0), z=z0, sprop_q=q, sprop_logp=logp, sprop_grad=grad,
         sprop_kin=fdt(0.0), slogw=fdt(-jnp.inf),
         srho=jnp.zeros((dim,), dtype), v_ck=zeros_ck, rho_ck=zeros_ck,
-        sfirst=z0, sturn=jnp.asarray(False), sdiv=jnp.asarray(False),
+        sfirst_p=p0, sturn=jnp.asarray(False), sdiv=jnp.asarray(False),
         ssum=fdt(0.0), go_right=jnp.asarray(False), key_sub=key_tree,
         key_swap=key_tree)
 
@@ -317,7 +321,7 @@ def _flat_body(value_and_grad: Callable, st: _FlatState, eps, m_inv, H0,
     (depth, z_minus, z_plus, prop_q, prop_logp, prop_grad, prop_kin,
      logw, rho, turning, diverging, sum_acc, n_leaves, key,
      i, z, sprop_q, sprop_logp, sprop_grad, sprop_kin, slogw, srho,
-     v_ck, rho_ck, sfirst, sturn, sdiv, ssum, go_right, key_sub,
+     v_ck, rho_ck, sfirst_p, sturn, sdiv, ssum, go_right, key_sub,
      key_swap) = st
 
     # ---- subtree start (i == 0): direction, fresh keys, reset ----
@@ -353,7 +357,7 @@ def _flat_body(value_and_grad: Callable, st: _FlatState, eps, m_inv, H0,
     sprop_logp = jnp.where(take, z_new.logp, sprop_logp)
     sprop_grad = jnp.where(take, z_new.grad, sprop_grad)
     sprop_kin = jnp.where(take, kin, sprop_kin)
-    sfirst = sel(i == 0, z_new, sfirst)
+    sfirst_p = jnp.where(i == 0, z_new.p, sfirst_p)
 
     start_mask = (jnp.mod(i, pow2) == 0) & (pow2 <= n_sub)
     v_ck = jnp.where(start_mask[:, None], v_new[None, :], v_ck)
@@ -364,7 +368,7 @@ def _flat_body(value_and_grad: Callable, st: _FlatState, eps, m_inv, H0,
     turn_k = jnp.logical_or(
         jnp.einsum("kd,kd->k", v_ck, rho_subs) <= 0.0,
         rho_subs @ v_new <= 0.0)
-    sturn = jnp.logical_or(sturn, jnp.any(turn_k & end_mask & (pow2 > 1)))
+    sturn = jnp.logical_or(sturn, jnp.any(turn_k & end_mask))
     sdiv = jnp.logical_or(sdiv, div_leaf)
     ssum = ssum + jnp.minimum(1.0, jnp.exp(w))
     slogw = slogw_new
@@ -393,10 +397,10 @@ def _flat_body(value_and_grad: Callable, st: _FlatState, eps, m_inv, H0,
     merged_turn = _is_turning(_vel(z_minus.p, m_inv),
                               _vel(z_plus.p, m_inv), rho_new)
     inner_old = sel(go_right, old_plus, old_minus)
-    rho_lx = rho + sfirst.p
+    rho_lx = rho + sfirst_p
     turn_lx = _is_turning(
-        _vel(jnp.where(go_right, old_minus.p, sfirst.p), m_inv),
-        _vel(jnp.where(go_right, sfirst.p, old_plus.p), m_inv), rho_lx)
+        _vel(jnp.where(go_right, old_minus.p, sfirst_p), m_inv),
+        _vel(jnp.where(go_right, sfirst_p, old_plus.p), m_inv), rho_lx)
     rho_rx = srho + inner_old.p
     turn_rx = _is_turning(
         _vel(jnp.where(go_right, inner_old.p, z.p), m_inv),
@@ -412,7 +416,7 @@ def _flat_body(value_and_grad: Callable, st: _FlatState, eps, m_inv, H0,
         depth, z_minus, z_plus, prop_q, prop_logp, prop_grad,
         prop_kin, logw, rho, turning, diverging, sum_acc, n_leaves,
         key, i, z, sprop_q, sprop_logp, sprop_grad, sprop_kin,
-        slogw, srho, v_ck, rho_ck, sfirst, sturn, sdiv, ssum,
+        slogw, srho, v_ck, rho_ck, sfirst_p, sturn, sdiv, ssum,
         go_right, key_sub, key_swap)
 
 
@@ -440,10 +444,12 @@ def nuts_transition_flat(value_and_grad: Callable, q, logp, grad, key, eps,
     dtype = q.dtype
     p0 = _sample_momentum(key_mom, m_inv, mass_chol, dtype)
     H0 = -logp + _kinetic(p0, m_inv)
-    kd = max_depth + 1
-    pow2 = jnp.left_shift(1, jnp.arange(kd))
+    # checkpoint rows cover subtree sizes 2^1..2^max_depth; size-1 subtrees
+    # never run a U-turn check, so the classic scheme's row 0 is dropped
+    pow2 = jnp.left_shift(1, jnp.arange(1, max_depth + 1))
 
-    init = _flat_init(q, logp, grad, p0, _kinetic(p0, m_inv), key_tree, kd)
+    init = _flat_init(q, logp, grad, p0, _kinetic(p0, m_inv), key_tree,
+                      max_depth)
     if tree_scan:
         # static trip count: a NUTS tree at max_depth visits at most
         # 2^max_depth - 1 leaves (subtree sizes 1, 2, ..., 2^(max_depth-1)).
@@ -560,8 +566,7 @@ def nuts_transition(value_and_grad: Callable, q, logp, grad, key, eps, m_inv,
 
 
 def find_reasonable_step_size(value_and_grad, q, logp, grad, key, m_inv,
-                              init_eps=1.0, target=0.8, max_tries=60,
-                              mass_chol=None):
+                              init_eps=1.0, max_tries=60, mass_chol=None):
     """Double/halve eps until the one-step acceptance crosses ~0.5
     (Hoffman & Gelman 2014 heuristic, as in Stan's init_stepsize)."""
     p0 = _sample_momentum(key, m_inv, mass_chol, q.dtype)
@@ -670,8 +675,8 @@ def _sample_nuts_fused(value_and_grad: Callable, q0, logp0, grad0, key,
     dim = q0.shape[0]
     dtype = q0.dtype
     total = warmup + samples
-    kd = cfg.max_depth + 1
-    pow2 = jnp.left_shift(1, jnp.arange(kd))
+    kd = cfg.max_depth    # checkpoint rows: subtree sizes 2^1..2^max_depth
+    pow2 = jnp.left_shift(1, jnp.arange(1, cfg.max_depth + 1))
 
     if cfg.adapt_mass:
         in_slow_np, win_end_np = _window_flags(warmup, cfg)

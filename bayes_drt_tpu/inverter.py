@@ -28,6 +28,7 @@ from .infer import diagnostics as mcmc_diagnostics
 from .models.build import build_posterior, sort_distributions, z_scale_for
 from .models.posterior import (PosteriorData, constrain, init_unconstrained,
                                log_density, predict_target, sigma_tot)
+from .progcache import cached_program, data_shapes
 from .utils import check_equality, get_outlier_thresh, r2_score, rel_round
 
 
@@ -770,15 +771,34 @@ class Inverter:
         names = sort_distributions(self.distributions)
         key = jax.random.PRNGKey(random_seed)
 
+        # cross-call program cache: the solver programs are cached keyed on
+        # everything that shapes the trace (model config, array shapes,
+        # budgets, the density function object); PosteriorData and the init
+        # values are jit ARGUMENTS, so repeated fits of same-shaped spectra
+        # skip Python re-tracing entirely (see progcache.cached_program)
+        iv_sig = (None if init_values is None
+                  else (tuple(sorted(init_values)), data_shapes(init_values)))
+        prog_base = ("inverter_fit", cfg, data_shapes(data), density, iv_sig)
+
         if mode == "optimize":
-            loss = lambda p: -density(cfg, data, p, jacobian=False)
-            if init_values is not None:
-                p0 = init_unconstrained(cfg, data, key, init_values=init_values)
-                res = run_lbfgs(loss, p0, max_iter=max_iter)
-            else:
-                init_fn = lambda k: init_unconstrained(cfg, data, k)
-                res = run_lbfgs_restarts(loss, init_fn, key, n_restarts,
-                                         max_iter=max_iter)
+            def build_map():
+                if init_values is not None:
+                    def run(dat, k, iv):
+                        loss = lambda p: -density(cfg, dat, p, jacobian=False)
+                        p0 = init_unconstrained(cfg, dat, k, init_values=iv)
+                        return run_lbfgs(loss, p0, max_iter=max_iter)
+                else:
+                    def run(dat, k):
+                        loss = lambda p: -density(cfg, dat, p, jacobian=False)
+                        init_fn = lambda kk: init_unconstrained(cfg, dat, kk)
+                        return run_lbfgs_restarts(loss, init_fn, k, n_restarts,
+                                                  max_iter=max_iter)
+                return jax.jit(run)
+
+            runner = cached_program(
+                prog_base + ("map", max_iter, n_restarts), build_map)
+            iv_args = () if init_values is None else (init_values,)
+            res = runner(data, key, *iv_args)
             c = jax.tree.map(np.asarray, constrain(cfg, data, res.params))
             pred = np.asarray(predict_target(cfg, data, c))
             st = np.asarray(sigma_tot(cfg, data, c, jnp.asarray(pred)))
@@ -789,24 +809,36 @@ class Inverter:
         elif mode == "sample":
             logp_template = init_unconstrained(cfg, data, key)
             _, unravel = ravel_pytree(logp_template)
-            logp = lambda q: density(cfg, data, unravel(q), jacobian=True)
             nuts_cfg = NUTSConfig(max_depth=max_tree_depth, delta=adapt_delta)
 
-            def one_chain(chain_key):
-                k_init, k_run = jax.random.split(chain_key)
-                if init_values is not None:
-                    p0 = init_unconstrained(cfg, data, k_init,
-                                            init_values=init_values)
-                else:
-                    p0 = init_unconstrained(cfg, data, k_init)
-                q0, _ = ravel_pytree(p0)
-                return sample_nuts(logp, q0, k_run, warmup=warmup,
-                                   samples=samples, cfg=nuts_cfg)
+            def build_sample():
+                def run(dat, ks, *iv_args):
+                    iv = iv_args[0] if iv_args else None
+                    logp = lambda q: density(cfg, dat, unravel(q),
+                                             jacobian=True)
 
+                    def one_chain(chain_key):
+                        k_init, k_run = jax.random.split(chain_key)
+                        if iv is not None:
+                            p0 = init_unconstrained(cfg, dat, k_init,
+                                                    init_values=iv)
+                        else:
+                            p0 = init_unconstrained(cfg, dat, k_init)
+                        q0, _ = ravel_pytree(p0)
+                        return sample_nuts(logp, q0, k_run, warmup=warmup,
+                                           samples=samples, cfg=nuts_cfg)
+
+                    return jax.vmap(one_chain)(ks)
+                return jax.jit(run)
+
+            runner = cached_program(
+                prog_base + ("sample", nuts_cfg, chains, warmup, samples),
+                build_sample)
+            iv_args = () if init_values is None else (init_values,)
             keys = jax.random.split(key, chains)
             _t_solve = _time.perf_counter()
             with self.timings.stage("sample"):
-                draws, info = jax.vmap(one_chain)(keys)
+                draws, info = runner(data, keys, *iv_args)
                 draws_np = np.asarray(draws)      # (chains, samples, D)
             _t_solve = _time.perf_counter() - _t_solve
             self._raw_draws = draws_np

@@ -30,6 +30,7 @@ from ..models.posterior import constrain, init_unconstrained, log_density
 from ..infer.nuts import NUTSConfig, sample_nuts
 from ..infer.map import run_lbfgs
 from ..infer.ridge import HyperLambdaConfig, RidgeData, run_hyper_lambda
+from ..progcache import cached_program as _cached_program
 
 
 def _pad_pow2(Z_batch, min_size: int = 8):
@@ -46,28 +47,6 @@ def _pad_pow2(Z_batch, min_size: int = 8):
     pad = np.repeat(Z_batch[:1], target - b, axis=0)
     return np.concatenate([Z_batch, pad], axis=0), b
 
-
-_PROGRAM_CACHE: dict = {}
-_PROGRAM_CACHE_MAX = 64
-
-
-def _cached_program(key, builder):
-    """Program cache across fit_spectra_* calls.
-
-    Rebuilding the fit closures on every call would make jax.jit re-TRACE
-    the whole batched sampler each time (measured ~6-7 s of Python tracing
-    per bench call — formerly ~55% of wall-clock, misattributed as per-draw
-    cost). The cache key pins everything that shapes the traced computation
-    (model config, array shapes/dtypes, solver budgets, mesh); array VALUES
-    are passed as jit arguments, so one cached program serves every batch
-    with the same structure."""
-    fn = _PROGRAM_CACHE.get(key)
-    if fn is None:
-        if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
-            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
-        fn = builder()
-        _PROGRAM_CACHE[key] = fn
-    return fn
 
 
 class BatchFitResult(NamedTuple):
@@ -395,6 +374,13 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     batched = _cached_program(prog_key, build_fit)
 
     out = batched(targets, spectrum_keys, *extra_args, *shared_args)
+    shard_layout = None
+    if mesh is not None:
+        # record where the result actually lives so callers/tests can verify
+        # the batch was partitioned across the mesh (device id -> row range)
+        shard_layout = tuple(sorted(
+            (s.device.id, s.index[0].start or 0, s.index[0].stop or b)
+            for s in out["coef"].addressable_shards))
     out = {k: np.asarray(v)[:b_real] for k, v in out.items()}
     z_scales = z_scales[:b_real]
 
@@ -409,6 +395,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     scale0 = rescale(0)
     diagnostics = {k: out[k] for k in out
                    if k not in ("coef", "coef_lo", "coef_hi", "r_inf", "induc")}
+    if shard_layout is not None:
+        diagnostics["shard_layout"] = shard_layout
     for i in range(1, n_dists):
         if f"coef_{i}" in diagnostics:
             diagnostics[f"coef_{i}"] = diagnostics[f"coef_{i}"] * rescale(i)

@@ -1,0 +1,31 @@
+"""Cross-call cache for jitted programs.
+
+Rebuilding jit closures on every fit call makes jax re-trace the whole
+program each time (seconds of Python tracing; only XLA compilation is
+cached by jax itself). Callers key the cache on everything that shapes the
+traced computation — model config, array shapes/dtypes, solver budgets,
+mesh — and pass array VALUES as arguments, so one cached program serves
+every call with the same structure.
+"""
+
+from __future__ import annotations
+
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_MAX = 128
+
+
+def cached_program(key, builder):
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+        fn = builder()
+        _PROGRAM_CACHE[key] = fn
+    return fn
+
+
+def data_shapes(tree):
+    """Shape/dtype signature of a pytree of arrays, for cache keys."""
+    import jax
+    return tuple((tuple(a.shape), str(getattr(a, "dtype", type(a))))
+                 for a in jax.tree.leaves(tree))

@@ -81,5 +81,16 @@ def test_outliers_auto_detection_path():
         inv.fit(freq, Zc, outliers="auto", nonneg=True, random_seed=0,
                 init_from_ridge=True, check_outliers=False)
     assert inv.stan_model_name.endswith("_outliers")
-    so = np.asarray(inv.error_fit["sigma_out"])
-    assert np.argmax(so) == 30
+    # the MAP drives most sigma_out to ~0; the robust checks are that the
+    # corrupted point stands out in the fitted error model's z-scores and
+    # that the fit itself is not poisoned by it
+    outlier_idx = inv.check_outliers(freq, Zc, threshold=3.5,
+                                     use_existing_fit=True).ravel()
+    # frequencies are sorted descending inside fit; locate the corrupted
+    # point in the trained ordering
+    idx30 = int(np.where(np.isclose(inv.f_train, freq[30]))[0][0])
+    assert idx30 in outlier_idx, (idx30, outlier_idx)
+    # the other points fit cleanly despite the corruption
+    z_hat = inv.predict_Z(inv.f_train)
+    rel = np.abs(z_hat - inv.Z_train) / np.abs(inv.Z_train)
+    assert np.median(np.delete(rel, idx30)) < 0.03

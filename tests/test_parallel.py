@@ -186,3 +186,29 @@ def test_pooled_preconditioned_batch_matches():
     rmse = float(np.sqrt(np.mean((gam.mean(axis=0) - gt) ** 2)))
     assert rmse < 0.06 * rp, (rmse, rp)
     assert res.diagnostics["divergence_rate"].mean() < 0.05
+
+
+def test_sharded_batch_actually_partitions():
+    """Multi-chip evidence (SURVEY.md section 2.10): the sharded batch's
+    result must physically live in one shard PER DEVICE, each covering a
+    distinct row range of the spectra axis — not replicated, not resident
+    on a single device.
+
+    Wall-clock note: on this 8-virtual-CPU-device rig the sharded fit gives
+    no real speedup over unsharded (the virtual devices share the same host
+    cores, and XLA:CPU already multithreads the unsharded program); the
+    placement assertions below are the meaningful multi-chip check that can
+    run without real chips — on a real slice each shard maps to its own
+    chip and the spectra axis scales linearly (no in-fit collectives).
+    """
+    freq, Zb = load_batch(b=8)
+    mesh = make_mesh(8)
+    res = fit_spectra_batch(freq, Zb, mode="optimize", max_iter=400,
+                            n_restarts=2, random_seed=0, mesh=mesh)
+    layout = res.diagnostics["shard_layout"]
+    device_ids = [d for d, _, _ in layout]
+    # one shard per device, all 8 devices used
+    assert len(set(device_ids)) == 8, layout
+    # the shards tile the batch axis: disjoint single-row ranges covering 0..8
+    ranges = sorted((lo, hi) for _, lo, hi in layout)
+    assert ranges == [(i, i + 1) for i in range(8)], layout

@@ -126,6 +126,28 @@ def test_hyper_lambda_matches_golden(penalty):
     scale = np.abs(coef_ref).max()
     np.testing.assert_allclose(coef, coef_ref, atol=2e-2 * scale)
 
+    # the ITERATION PATH matches as well, not only the (possibly
+    # non-converged) iteration-20 point the workloads stop at: after 3
+    # iterations — far from any fixed point — coefficients and the full
+    # lambda vector agree tightly with the independent implementation, so
+    # a "did not converge within 20 iterations" warning leaves both
+    # implementations at the SAME intermediate state
+    cfg3 = HyperLambdaConfig(part="both", penalty=penalty, n_fixed=2,
+                             max_iter=3)
+    res3 = run_hyper_lambda(cfg3, data, np.full(k, 1e-6), np.full(3, hl_beta),
+                            lambda_0, xtol=0.0,
+                            delta_mask=jnp.asarray(delta_mask))
+    coef3_ref, lam3_ref, _ = run_hyper_lambda_golden(
+        "both", p["WA_re"], p["WA_im"], p["WT_re"], p["WT_im"], p["L2_base"],
+        p["L_ops"], p["L1_vec"], reg_frac, p["lb"], p["ub"], hl_beta, lambda_0,
+        penalty=penalty, n_fixed=2, delta_mask=delta_mask, max_iter=3,
+        xtol=0.0)
+    np.testing.assert_allclose(np.asarray(res3.coef), coef3_ref,
+                               atol=5e-3 * scale)
+    # only order 2 is active (reg_frac); skip the n_fixed offset coords
+    np.testing.assert_allclose(np.asarray(res3.lam_vectors[2])[2:],
+                               np.asarray(lam3_ref)[2][2:], rtol=2e-2)
+
 
 def test_hyper_lambda_recovers_zarc_gamma():
     freq, Z = load_spectrum("Z_ZARC_Macdonald_0.25.csv")
