@@ -22,6 +22,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..progcache import precise_matmuls
+
 
 def _softplus(u):
     return jnp.logaddexp(u, 0.0)
@@ -72,6 +74,7 @@ class LsqResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("residual_fn", "max_iter"))
+@precise_matmuls
 def bounded_lm(residual_fn: Callable, x0, lb, ub, max_iter: int = 200,
                xtol: float = 1e-10, gtol: float = 1e-10,
                lam0: float = 1e-3) -> LsqResult:

@@ -16,6 +16,8 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ..progcache import precise_matmuls
 import optax
 import optax.tree_utils as otu
 
@@ -30,6 +32,7 @@ class MapResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("loss_fn", "max_iter", "memory_size",
                                    "max_linesearch_steps"))
+@precise_matmuls
 def run_lbfgs(loss_fn: Callable, x0, max_iter: int = 4000, tol: float = 1e-8,
               ftol_rel: float = 1e-13, memory_size: int = 10,
               max_linesearch_steps: int = 40) -> MapResult:

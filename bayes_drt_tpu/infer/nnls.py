@@ -21,6 +21,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..progcache import precise_matmuls
+
 
 class QPResult(NamedTuple):
     x: jax.Array
@@ -45,6 +47,7 @@ def _masked_solve(P, q, at_lb, at_ub, lb, ub):
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
+@precise_matmuls
 def solve_qp_box(P, q, lb, ub, max_iter: int = 100, tol: float = 1e-10) -> QPResult:
     """Block principal pivoting for the box-constrained QP.
 

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..progcache import precise_matmuls
+
 
 class NUTSConfig(NamedTuple):
     max_depth: int = 10
@@ -786,6 +788,7 @@ def _sample_nuts_fused(value_and_grad: Callable, q0, logp0, grad0, key,
 
 
 @partial(jax.jit, static_argnames=("logp_fn", "warmup", "samples", "cfg"))
+@precise_matmuls
 def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
                 samples: int = 200, cfg: NUTSConfig = NUTSConfig(),
                 init_step_size: float = 1.0, metric=None):

@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..progcache import precise_matmuls
+
 from .nnls import solve_qp_box
 
 
@@ -260,6 +262,7 @@ def _lambda0_from_ab(cfg: HyperLambdaConfig, hyper_as, hyper_bs, ab_updated):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@precise_matmuls
 def run_hyper_lambda(cfg: HyperLambdaConfig, data: RidgeData, x0,
                      hl_beta, lambda_0, hl_fbeta=0.1,
                      sb=None, alpha_a=None, beta_a=None,
@@ -351,6 +354,7 @@ def run_hyper_lambda(cfg: HyperLambdaConfig, data: RidgeData, x0,
 
 
 @partial(jax.jit, static_argnames=("part", "qp_iter"))
+@precise_matmuls
 def run_ordinary_ridge(part: str, data: RidgeData, lambda_0, qp_iter: int = 2000) -> RidgeResult:
     """Single QP solve with lam = lambda_0 (reference: inversion.py:835-852)."""
     k = data.WA_re.shape[1]
@@ -366,6 +370,7 @@ def run_ordinary_ridge(part: str, data: RidgeData, lambda_0, qp_iter: int = 2000
 
 
 @partial(jax.jit, static_argnames=("part", "max_iter", "qp_iter"))
+@precise_matmuls
 def run_hyper_weights(part: str, data: RidgeData, A_re, A_im, T_re, T_im,
                       lambda_0, hw_beta, wbar_re, wbar_im,
                       max_iter: int = 20, xtol: float = 1e-3,

@@ -3,17 +3,26 @@
 Workload: B simulated ZARC spectra (N=81 frequencies, K=101 basis functions,
 the reference's standard problem size), each fit with full NUTS — 4 chains x
 (250 warmup + 250 draws) — in ONE XLA program vmapped over spectra and
-chains. Sampling uses the non-centered coefficient parameterization (a pure
-change of variables targeting the identical posterior) which cuts the
-recovery error ~3x at this budget vs the centered form, and max_tree_depth
-6 — measured back-to-back, depth 6 is ~1.7x faster than depth 8 with the
-recovered-gamma RMSE unchanged within the accuracy gate (1.6% vs 1.4% of
-Rp; the gate requires < 3%) — and the flat tree builder lowered as a
-static-length scan (tree_scan=True, bit-identical draws to the reference
-recursive algorithm). The warm-up call also primes the cross-call program
-cache (parallel/batch._cached_program), so the timed run measures pure
-device execution: Python re-tracing used to cost ~6-7 s/call (~55% of
-wall-clock, round-1's misattributed "fixed per-draw cost").
+chains. Configuration (each choice measured back-to-back on the TPU with a
+repeated baseline):
+
+- non-centered parameterization (ncp=True): pure change of variables,
+  identical posterior, ~3x lower recovery error at this budget
+- library-default full-float32 matmuls (progcache.precise_matmuls): the
+  TPU's default bf16 MXU passes destabilize leapfrog integration (logp
+  split-Rhat p50 24.7 -> 2.0; recovered-gamma RMSE 1.6% -> 0.56% of Rp at
+  max_depth 6, ~12% slower)
+- max_tree_depth 5: with precise matmuls, md5 keeps mean recovery at
+  0.68% of Rp (gate: 3%), per-spectrum p90 1.9%, 95% CI coverage of the
+  true distribution 0.996, divergence rate 0.24% — while doubling
+  throughput vs md6 (md6: 0.56% mean, coverage 0.999, half the speed)
+- flat tree builder lowered as a static-length scan (tree_scan=True,
+  bit-identical draws to the reference recursive algorithm)
+
+The warm-up call also primes the cross-call program cache
+(parallel/batch._cached_program), so the timed run measures pure device
+execution: Python re-tracing used to cost ~6-7 s/call (~55% of wall-clock,
+round-1's misattributed "fixed per-draw cost").
 
 Baseline: the reference fits ONE spectrum with Stan NUTS at 4 chains x
 (500+500) in 515.5 s on CPU (BASELINE.md, code_EchemActa/"Run fits.ipynb"
@@ -41,7 +50,7 @@ B = 512
 CHAINS = 4
 WARMUP = 250
 SAMPLES = 250
-MAX_DEPTH = 6
+MAX_DEPTH = 5
 BASELINE_SEC_PER_SPECTRUM = 515.5 / 2.0   # reference 4x1000 scaled to 4x500
 
 
@@ -78,8 +87,8 @@ def main():
     rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
     rmse = float(np.sqrt(np.mean((gammas.mean(axis=0) - gt["gamma"].values) ** 2)))
     # the batch spectra carry the file's 0.25% noise PLUS fresh replica
-    # noise; with the non-centered sampler the batch-mean recovery lands at
-    # ~1.5% of Rp on the TPU, so 3% is a tight but safe gate
+    # noise; with ncp + precise matmuls the batch-mean recovery lands at
+    # ~0.7% of Rp on the TPU, so 3% is a comfortable gate
     ok = rmse < 0.03 * rp
 
     spectra_per_min = B / (elapsed / 60.0)
