@@ -130,3 +130,30 @@ def test_custom_log_density():
     assert calls["n"] > 0
     # the custom prior pins the SCALED R_inf at 2 -> unscaled 2 * Z_scale
     assert abs(inv.R_inf / inv._Z_scale - 2.0) < 0.01
+
+
+def test_multidist_sampling_smoke():
+    """The MultiDist generalization also samples: two series distributions
+    through full NUTS at a small budget produce finite draws, credible
+    intervals, and a good impedance reconstruction (reference marks
+    MultiDist as a performance-warning path, inversion.py:1588-1590)."""
+    freq, Z = load("Z_ZARC_Macdonald_0.25.csv")
+    inv = Inverter(distributions={
+        "DRT": {"kernel": "DRT"},
+        "S-DDT": {"kernel": "DDT", "dist_type": "series", "symmetry": "planar",
+                  "bc": "transmissive"},
+    })
+    inv.fit(freq, Z, mode="sample", nonneg=True, random_seed=0, warmup=100,
+            samples=100, chains=2, max_tree_depth=6, check_outliers=False)
+    assert inv.stan_model_name.startswith("MultiDist")
+    assert inv.fit_type == "bayes"
+    z_hat = inv.predict_Z(freq)
+    assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.05
+    # credible band exists and brackets the mean for both distributions
+    for name in ("DRT", "S-DDT"):
+        tau = inv.distributions[name]["tau"]
+        lo = inv.predict_distribution(name, eval_tau=tau, percentile=2.5)
+        hi = inv.predict_distribution(name, eval_tau=tau, percentile=97.5)
+        mean = inv.predict_distribution(name, eval_tau=tau)
+        assert np.isfinite(lo).all() and np.isfinite(hi).all()
+        assert (lo <= mean + 1e-9).all() and (mean <= hi + 1e-9).all()
