@@ -64,6 +64,23 @@ def evaluate_fit_impedance(x, freq, R_inf=0.0, inductance=0.0):
 
 # --- residuals & solve (reference: peak_fit.py:68-73) ----------------------
 
+def peak_fit_residuals(x, tau, gamma, Rp, weights, l1_penalty, l2_penalty):
+    """Stacked HN-fit residual vector: weighted distribution misfit, L1/L2
+    penalties on peak magnitudes, and the Rp-match residual
+    (reference: peak_fit.py:68-73). ``_solve_peaks`` evaluates the same
+    expression inside the jitted bounded-LM solver; this standalone form is
+    the reference-parity surface for custom solvers."""
+    x = jnp.asarray(x, float)
+    resid = (evaluate_fit_distribution(x, jnp.asarray(tau, float))
+             - jnp.asarray(gamma, float)) * jnp.asarray(weights, float)
+    R_vals = x[::4]
+    l1 = jnp.sqrt(jnp.abs(R_vals / Rp)) * l1_penalty
+    l2 = (R_vals / Rp) * l2_penalty
+    rp_resid = 2.0 * (jnp.sum(R_vals) - Rp) / Rp
+    return np.asarray(jnp.concatenate([resid, l1, l2,
+                                       jnp.array([rp_resid])]))
+
+
 def _solve_peaks(tau, gamma, Rp, x0, lb, ub, weights, l1_penalty, l2_penalty):
     tau_j = jnp.asarray(tau, float)
     gamma_j = jnp.asarray(gamma, float)

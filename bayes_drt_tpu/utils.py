@@ -106,3 +106,21 @@ def complex_from_polar(zmod, zphz_deg):
     phase = np.radians(np.asarray(zphz_deg, dtype=float))
     zmod = np.asarray(zmod, dtype=float)
     return zmod * np.cos(phase), zmod * np.sin(phase)
+
+
+def is_number(s):
+    """True if ``s`` parses as a float (reference: utils.py:79-84)."""
+    try:
+        float(s)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def camel_case_split(identifier):
+    """Split a CamelCase identifier into words (reference: utils.py:87-90)."""
+    import re
+    matches = re.finditer(
+        ".+?(?:(?<=[a-z])(?=[A-Z0-9])|(?<=[A-Z0-9])(?=[A-Z0-9][a-z])|$)",
+        identifier)
+    return [m.group(0) for m in matches]
