@@ -76,6 +76,10 @@ class NUTSConfig(NamedTuple):
                                   # saturated-tree DRT bench); prefer the
                                   # while_loop for single chains with short
                                   # trajectories. Implies flat_tree.
+    scan_unroll: int = 1          # leaves inlined per tree_scan iteration
+                                  # (lax.scan unroll): lets XLA fuse across
+                                  # leaves at the cost of a bigger program;
+                                  # only meaningful with tree_scan=True.
 
 
 class _EdgeState(NamedTuple):
@@ -429,7 +433,7 @@ def _flat_alive(st: _FlatState, max_depth: int):
 def nuts_transition_flat(value_and_grad: Callable, q, logp, grad, key, eps,
                          m_inv, max_depth: int = 10,
                          max_energy_error: float = 1000.0, mass_chol=None,
-                         tree_scan: bool = False):
+                         tree_scan: bool = False, scan_unroll: int = 1):
     """One NUTS draw built with a SINGLE while_loop over leapfrog steps.
 
     Mathematically identical to ``nuts_transition`` (same RNG stream, same
@@ -464,7 +468,8 @@ def nuts_transition_flat(value_and_grad: Callable, q, logp, grad, key, eps,
             return _sel(_flat_alive(s, max_depth), s_new, s), None
 
         st, _ = jax.lax.scan(scan_body, init, None,
-                             length=(1 << max_depth) - 1)
+                             length=(1 << max_depth) - 1,
+                             unroll=scan_unroll)
     else:
         st = jax.lax.while_loop(
             lambda s: _flat_alive(s, max_depth),
@@ -881,7 +886,7 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
                 value_and_grad, q, logp, grad, k_step, eps, m_inv,
                 max_depth=cfg.max_depth,
                 max_energy_error=cfg.max_energy_error, mass_chol=chol,
-                tree_scan=cfg.tree_scan)
+                tree_scan=cfg.tree_scan, scan_unroll=cfg.scan_unroll)
         else:
             q, logp, grad, info = nuts_transition(
                 value_and_grad, q, logp, grad, k_step, eps, m_inv,

@@ -138,7 +138,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       ncp: bool = False, unroll: int = 1,
                       flat_tree: bool = False,
                       fused_draws: bool = False,
-                      tree_scan: bool = False) -> BatchFitResult:
+                      tree_scan: bool = False,
+                      scan_unroll: int = 1) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
     Z_batch: complex array (B, N). mode='sample' runs ``chains`` NUTS chains
@@ -192,7 +193,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     if mode == "sample":
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
                               flat_tree=flat_tree, fused_draws=fused_draws,
-                              tree_scan=tree_scan)
+                              tree_scan=tree_scan, scan_unroll=scan_unroll)
 
         def summarize(dat, draws, info):
             flat = draws.reshape(-1, draws.shape[-1])
@@ -330,7 +331,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         main_warmup = max(20, warmup - pilot_warmup - pilot_samples)
         main_cfg = NUTSConfig(max_depth=max_tree_depth, adapt_mass=False,
                               unroll=unroll, flat_tree=flat_tree,
-                              fused_draws=fused_draws, tree_scan=tree_scan)
+                              fused_draws=fused_draws, tree_scan=tree_scan,
+                              scan_unroll=scan_unroll)
 
         def fit_one(target, skey, q0c, dat, m_inv, chol):  # noqa: F811 — pooled-path override
             logp = logp_for(dat, target)
@@ -418,7 +420,8 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                        ncp: bool = False, unroll: int = 1,
                       flat_tree: bool = False,
                       fused_draws: bool = False,
-                      tree_scan: bool = False) -> BatchFitResult:
+                      tree_scan: bool = False,
+                      scan_unroll: int = 1) -> BatchFitResult:
     """Fit spectra with DIFFERENT frequency grids in one XLA program.
 
     ``spectra``: list of (frequencies, Z) pairs. Grids are padded to a
@@ -487,7 +490,7 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
     if mode == "sample":
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
                               flat_tree=flat_tree, fused_draws=fused_draws,
-                              tree_scan=tree_scan)
+                              tree_scan=tree_scan, scan_unroll=scan_unroll)
 
         def fit_one(A_stack, target, freq_row, mask_row, skey, dat):
             d = dat._replace(A=(A_stack,), target=target, freq=freq_row,

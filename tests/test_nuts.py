@@ -256,3 +256,27 @@ def test_tree_scan_matches_flat_tree():
                                   np.asarray(i1["diverging"]))
     np.testing.assert_array_equal(np.asarray(i2["inv_mass"]),
                                   np.asarray(i1["inv_mass"]))
+
+
+def test_tree_scan_unroll_matches():
+    """scan_unroll inlines leaves per scan iteration without changing the
+    algorithm: identical draws and tree shapes vs unroll=1."""
+    d = 10
+    rng = np.random.default_rng(13)
+    A = rng.standard_normal((d, d))
+    cov = A @ A.T + 0.5 * np.eye(d)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(q):
+        return -0.5 * q @ (prec @ q)
+
+    d1, i1 = sample_nuts(logp, jnp.ones(d), jax.random.PRNGKey(9),
+                         warmup=40, samples=40,
+                         cfg=NUTSConfig(max_depth=5, tree_scan=True))
+    d2, i2 = sample_nuts(logp, jnp.ones(d), jax.random.PRNGKey(9),
+                         warmup=40, samples=40,
+                         cfg=NUTSConfig(max_depth=5, tree_scan=True,
+                                        scan_unroll=2))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(i2["n_leapfrog"]),
+                                  np.asarray(i1["n_leapfrog"]))
