@@ -657,6 +657,34 @@ def _da_update(da: _DAState, accept_prob, cfg: NUTSConfig):
                     mu=da.mu, t=t)
 
 
+
+def _welford_init(dim, dtype, adapt_mass: bool, dense_mass: bool):
+    """Welford accumulator (mean, M2, n): variance vector (diag) or full
+    covariance (dense); empty when the metric is fixed."""
+    if not adapt_mass:
+        return (jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
+                jnp.zeros((), dtype))
+    m2_shape = (dim, dim) if dense_mass else (dim,)
+    return (jnp.zeros((dim,), dtype), jnp.zeros(m2_shape, dtype),
+            jnp.zeros((), dtype))
+
+
+def _welford_add(wf, x, dense_mass: bool):
+    mean, m2, n = wf
+    n1 = n + 1.0
+    d = x - mean
+    mean = mean + d / n1
+    d2 = x - mean
+    m2 = m2 + (jnp.outer(d, d2) if dense_mass else d * d2)
+    return mean, m2, n1
+
+
+def _regularized_variance(cov, n):
+    """Stan-style shrunk variance estimate for the new metric at a window
+    end: cov * n/(n+5) + 1e-3 * 5/(n+5)."""
+    return cov * (n / (n + 5.0)) + 1e-3 * (5.0 / (n + 5.0))
+
+
 def _sample_nuts_fused(value_and_grad: Callable, q0, logp0, grad0, key,
                        warmup: int, samples: int, cfg: NUTSConfig,
                        m_inv0, chol0, eps0):
@@ -691,19 +719,7 @@ def _sample_nuts_fused(value_and_grad: Callable, q0, logp0, grad0, key,
                                               np.zeros(samples, bool)]))
         win_end = jnp.asarray(np.concatenate([win_end_np,
                                               np.zeros(samples, bool)]))
-        wf0 = (jnp.zeros((dim,), dtype), jnp.zeros((dim,), dtype),
-               jnp.zeros((), dtype))
-    else:
-        wf0 = (jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
-               jnp.zeros((), dtype))
-
-    def welford_add(wf, x):
-        mean, m2, n = wf
-        n1 = n + 1.0
-        d_ = x - mean
-        mean = mean + d_ / n1
-        m2 = m2 + d_ * (x - mean)
-        return mean, m2, n1
+    wf0 = _welford_init(dim, dtype, cfg.adapt_mass, dense_mass=False)
 
     qs0 = jnp.zeros((samples + 1, dim), dtype)
     fbuf = jnp.zeros((samples + 1,), dtype)
@@ -753,10 +769,11 @@ def _sample_nuts_fused(value_and_grad: Callable, q0, logp0, grad0, key,
         if cfg.adapt_mass:
             slow_d = jnp.take(in_slow, d, mode="clip")
             wend_d = jnp.take(win_end, d, mode="clip")
-            wf = _sel(done & slow_d, welford_add(wf, q), wf)
+            wf = _sel(done & slow_d, _welford_add(wf, q, dense_mass=False),
+                      wf)
             mean, m2, n = wf
             cov = m2 / jnp.maximum(n - 1.0, 1.0)
-            reg = cov * (n / (n + 5.0)) + 1e-3 * (5.0 / (n + 5.0))
+            reg = _regularized_variance(cov, n)
             m_inv = jnp.where(done & wend_d & (n > 1), reg, m_inv)
             wf = jax.tree.map(
                 lambda a: jnp.where(done & wend_d, jnp.zeros_like(a), a), wf)
@@ -813,15 +830,6 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
     dtype = q0.dtype
     total = warmup + samples
 
-    if cfg.adapt_mass:
-        in_slow_np, win_end_np = _window_flags(warmup, cfg)
-    else:
-        in_slow_np = np.zeros(warmup, bool)
-        win_end_np = np.zeros(warmup, bool)
-    in_slow = jnp.asarray(np.concatenate([in_slow_np, np.zeros(samples, bool)]))
-    win_end = jnp.asarray(np.concatenate([win_end_np, np.zeros(samples, bool)]))
-    in_warm = jnp.asarray(np.arange(total) < warmup)
-
     logp0, grad0 = value_and_grad(q0)
     if metric is not None:
         if isinstance(metric, (tuple, list)):
@@ -852,29 +860,17 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
         return _sample_nuts_fused(value_and_grad, q0, logp0, grad0, key,
                                   warmup, samples, cfg, m_inv0, chol0, eps0)
 
-    da0 = _da_init(eps0, dtype)
-
-    # Welford accumulator: variance vector (diag) or full covariance (dense);
-    # empty when the metric is fixed (no accumulation state to carry)
     if cfg.adapt_mass:
-        m2_shape = (dim, dim) if cfg.dense_mass else (dim,)
-        wf0 = (jnp.zeros((dim,), dtype), jnp.zeros(m2_shape, dtype),
-               jnp.zeros((), dtype))
+        in_slow_np, win_end_np = _window_flags(warmup, cfg)
     else:
-        wf0 = (jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
-               jnp.zeros((), dtype))
+        in_slow_np = np.zeros(warmup, bool)
+        win_end_np = np.zeros(warmup, bool)
+    in_slow = jnp.asarray(np.concatenate([in_slow_np, np.zeros(samples, bool)]))
+    win_end = jnp.asarray(np.concatenate([win_end_np, np.zeros(samples, bool)]))
+    in_warm = jnp.asarray(np.arange(total) < warmup)
 
-    def welford_add(wf, x):
-        mean, m2, n = wf
-        n1 = n + 1.0
-        d = x - mean
-        mean = mean + d / n1
-        d2 = x - mean
-        if cfg.dense_mass:
-            m2 = m2 + jnp.outer(d, d2)
-        else:
-            m2 = m2 + d * d2
-        return mean, m2, n1
+    da0 = _da_init(eps0, dtype)
+    wf0 = _welford_init(dim, dtype, cfg.adapt_mass, cfg.dense_mass)
 
     def step(carry, xs):
         q, logp, grad, da, wf, m_inv, chol, key = carry
@@ -900,7 +896,7 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
         if not cfg.adapt_mass:
             return (q, logp, grad, da, wf, m_inv, chol, key), info
 
-        wf_new = welford_add(wf, q)
+        wf_new = _welford_add(wf, q, cfg.dense_mass)
         wf = jax.tree.map(lambda n, o: jnp.where(slow, n, o), wf_new, wf)
 
         # end of a slow window: set mass matrix from regularized (co)variance,
@@ -916,12 +912,13 @@ def sample_nuts(logp_fn: Callable, q0, key, warmup: int = 200,
             shrunk = alpha * cov + (1.0 - alpha) * diag_part
             reg = (shrunk * (n / (n + 5.0))
                    + 1e-3 * (5.0 / (n + 5.0)) * jnp.eye(dim, dtype=dtype))
+            # (dense variant of _regularized_variance: identity-scaled floor)
             new_chol = jnp.linalg.cholesky(reg)
             ok = wend & (n > 1) & jnp.all(jnp.isfinite(new_chol))
             m_inv = jnp.where(ok, reg, m_inv)
             chol = jnp.where(ok, new_chol, chol)
         else:
-            reg = cov * (n / (n + 5.0)) + 1e-3 * (5.0 / (n + 5.0))
+            reg = _regularized_variance(cov, n)
             m_inv = jnp.where(wend & (n > 1), reg, m_inv)
         wf = jax.tree.map(lambda a: jnp.where(wend, jnp.zeros_like(a), a), wf)
         da_reset = _da_init(jnp.exp(da.log_eps), dtype)

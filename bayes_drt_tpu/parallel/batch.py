@@ -30,7 +30,7 @@ from ..models.posterior import constrain, init_unconstrained, log_density
 from ..infer.nuts import NUTSConfig, sample_nuts
 from ..infer.map import run_lbfgs
 from ..infer.ridge import HyperLambdaConfig, RidgeData, run_hyper_lambda
-from ..progcache import cached_program as _cached_program
+from ..progcache import cached_program as _cached_program, data_shapes
 
 
 def _pad_pow2(Z_batch, min_size: int = 8):
@@ -269,9 +269,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
 
         prog_extra = (n_restarts, max_iter)
 
-    data_shapes = tuple((tuple(a.shape), str(a.dtype))
-                        for a in jax.tree.leaves(data))
-    base_key = ("fit_spectra_batch", mode, cfg, data_shapes, prog_extra, mesh)
+    base_key = ("fit_spectra_batch", mode, cfg, data_shapes(data),
+                prog_extra, mesh)
 
     extra_args = ()
     if mode == "sample" and precondition == "pooled":
@@ -538,9 +537,8 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
         prog_extra = (n_restarts, max_iter)
     args = (jnp.asarray(A_stacks, dtype), jnp.asarray(targets, dtype),
             jnp.asarray(freq_pad, dtype), jnp.asarray(masks2, dtype), keys)
-    data_shapes = tuple((tuple(a.shape), str(a.dtype))
-                        for a in jax.tree.leaves(data0))
-    prog_key = ("fit_spectra_ragged", mode, cfg, data_shapes, prog_extra, mesh)
+    prog_key = ("fit_spectra_ragged", mode, cfg, data_shapes(data0),
+                prog_extra, mesh)
 
     def build_fit():
         fn = jax.vmap(fit_one, in_axes=(0, 0, 0, 0, 0, None))

@@ -67,9 +67,8 @@ def evaluate_fit_impedance(x, freq, R_inf=0.0, inductance=0.0):
 def peak_fit_residuals(x, tau, gamma, Rp, weights, l1_penalty, l2_penalty):
     """Stacked HN-fit residual vector: weighted distribution misfit, L1/L2
     penalties on peak magnitudes, and the Rp-match residual
-    (reference: peak_fit.py:68-73). ``_solve_peaks`` evaluates the same
-    expression inside the jitted bounded-LM solver; this standalone form is
-    the reference-parity surface for custom solvers."""
+    (reference: peak_fit.py:68-73). Traceable — ``_solve_peaks`` drives the
+    jitted bounded-LM solver through this same function."""
     x = jnp.asarray(x, float)
     resid = (evaluate_fit_distribution(x, jnp.asarray(tau, float))
              - jnp.asarray(gamma, float)) * jnp.asarray(weights, float)
@@ -77,24 +76,17 @@ def peak_fit_residuals(x, tau, gamma, Rp, weights, l1_penalty, l2_penalty):
     l1 = jnp.sqrt(jnp.abs(R_vals / Rp)) * l1_penalty
     l2 = (R_vals / Rp) * l2_penalty
     rp_resid = 2.0 * (jnp.sum(R_vals) - Rp) / Rp
-    return np.asarray(jnp.concatenate([resid, l1, l2,
-                                       jnp.array([rp_resid])]))
+    return jnp.concatenate([resid, l1, l2, jnp.array([rp_resid])])
 
 
 def _solve_peaks(tau, gamma, Rp, x0, lb, ub, weights, l1_penalty, l2_penalty):
     tau_j = jnp.asarray(tau, float)
     gamma_j = jnp.asarray(gamma, float)
     w_j = jnp.asarray(weights, float)
-    n_peaks = len(x0) // 4
 
     def residuals(x):
-        fit = evaluate_fit_distribution(x, tau_j)
-        resid = (fit - gamma_j) * w_j
-        R_vals = x[::4]
-        l1 = jnp.sqrt(jnp.abs(R_vals / Rp)) * l1_penalty
-        l2 = (R_vals / Rp) * l2_penalty
-        rp_resid = 2.0 * (jnp.sum(R_vals) - Rp) / Rp
-        return jnp.concatenate([resid, l1, l2, jnp.array([rp_resid])])
+        return peak_fit_residuals(x, tau_j, gamma_j, Rp, w_j,
+                                  l1_penalty, l2_penalty)
 
     res = bounded_lm(residuals, jnp.asarray(x0), jnp.asarray(lb),
                      jnp.asarray(ub), max_iter=300)

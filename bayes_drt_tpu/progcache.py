@@ -25,9 +25,14 @@ def cached_program(key, builder):
 
 
 def data_shapes(tree):
-    """Shape/dtype signature of a pytree of arrays, for cache keys."""
+    """Shape/dtype signature of a pytree of arrays/scalars, for cache keys.
+
+    Leaves may be jax/numpy arrays or plain Python scalars (e.g. ridge-init
+    values computed with float arithmetic); np.shape/np.result_type cover
+    both."""
     import jax
-    return tuple((tuple(a.shape), str(getattr(a, "dtype", type(a))))
+    import numpy as np
+    return tuple((np.shape(a), str(np.result_type(a)))
                  for a in jax.tree.leaves(tree))
 
 

@@ -137,3 +137,22 @@ def test_distribution_validation_errors():
         Inverter(distributions={"d": {"kernel": "DDT", "ct": True}})
     with pytest.warns(UserWarning):
         Inverter(distributions={"d": {"kernel": "DRT", "dist_type": "parallel"}})
+
+
+def test_init_from_ridge_parallel_distribution():
+    """Ridge initialization of a single parallel DDT fit: the ridge R_inf
+    for a parallel fit is the Python float 0.0, which the fit-program
+    cache key must digest (progcache.data_shapes on scalar leaves)."""
+    df = pd.read_csv(
+        "/root/reference/data/simulated/Z_BimodalTP-DDT_uniform_0.05.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    inv = Inverter(distributions={
+        "DDT": {"kernel": "DDT", "symmetry": "planar", "bc": "transmissive",
+                "dist_type": "parallel",
+                "basis_freq": np.logspace(6, -3, 91)}})
+    inv.fit(freq, Z, init_from_ridge=True, random_seed=0,
+            check_outliers=False)
+    assert inv.fit_type == "map"
+    z_hat = inv.predict_Z(freq)
+    assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.05

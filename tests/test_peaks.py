@@ -81,3 +81,27 @@ def test_inverter_peak_fit_workflow():
     assert np.max(np.abs(g_peaks - g_drt)) < 0.3 * np.max(g_drt)
     z_peaks = inv.predict_peak_Z(freq)
     assert np.median(np.abs(z_peaks - Z) / np.abs(Z)) < 0.05
+
+
+def test_reference_parity_helpers():
+    """The small reference-parity helpers: peak_fit_residuals is the
+    residual the LM solver actually minimizes (peak_fit.py:68-73);
+    is_number / camel_case_split mirror utils.py:79-90."""
+    from bayes_drt_tpu.peaks import peak_fit_residuals
+    from bayes_drt_tpu.utils import camel_case_split, is_number
+
+    tau = np.logspace(-3, 1, 30)
+    x = np.array([0.8, np.log(0.05), 0.95, 0.85])
+    gamma = np.zeros(30)
+    r = np.asarray(peak_fit_residuals(x, tau, gamma, 1.0, np.ones(30),
+                                      0.5, 0.01))
+    assert r.shape == (30 + 1 + 1 + 1,)
+    # penalty terms match the reference formulas
+    np.testing.assert_allclose(r[30], np.sqrt(np.abs(0.8)) * 0.5)
+    np.testing.assert_allclose(r[31], 0.8 * 0.01)
+    np.testing.assert_allclose(r[32], 2 * (0.8 - 1.0))
+
+    assert is_number("3.5") and is_number("-1e10")
+    assert not is_number("abc") and not is_number(None)
+    assert camel_case_split("BimodalTPDDt") == ["Bimodal", "TPD", "Dt"]
+    assert camel_case_split("ZarcRL") == ["Zarc", "RL"]
