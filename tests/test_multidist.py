@@ -192,3 +192,52 @@ def test_blocking_ddt_scaling_branch():
     z_hat = inv.predict_Z(freq)
     # blocking DDT diverges at low frequency; check relative accuracy
     assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.05
+
+
+@pytest.mark.parametrize("workload", ["DRT-3-TpDDT", "DRT-4-TpDDT"])
+def test_series_parallel_map_more_peaks(workload):
+    """The remaining committed Series-Parallel MAP workloads (3- and 4-peak
+    DRTs + transmissive-planar DDT, reference "Run fits.ipynb" sp_files
+    loop), gated at 1.5x the reference's own recovery error."""
+    freq, Z = load(f"Z_{workload}_uniform_0.25.csv")
+    inv = Inverter(distributions=SP_DISTS)
+    inv.fit(freq, Z, nonneg=True, random_seed=2, n_restarts=8)
+    z_hat = inv.predict_Z(freq)
+    assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.03
+
+    gt, ref = ref_errors("map_results", workload, ["gamma", "ftp"])
+    got = recovered_errors(inv, gt, [("DRT", "gamma"), ("TP-DDT", "ftp")])
+    for col in ("gamma", "ftp"):
+        assert got[col] < 1.5 * ref[col], (col, got[col], ref[col])
+
+
+def test_pdac_experimental_series_parallel_outliers():
+    """Experimental PDAC spectrum fit with DRT + TP-DDT and the outlier
+    error model (reference "Run fits.ipynb" cells 28-29: basis
+    logspace(7,-3,101), TP-DDT x_scale=3, outliers=True, nonneg). No
+    ground truth exists for experimental data; parity = the recovered
+    distributions agree with the committed reference MAP fit
+    (map_results/Gout_PDAC_DRT-TpDDT_outliers.csv)."""
+    from bayes_drt_tpu.io import get_fZ, read_eis
+    df = read_eis("/root/reference/data/experimental/"
+                  "PDAC_COM3_02109_Contact10_2065C_500C.txt")
+    freq, Z = get_fZ(df)
+    inv = Inverter(basis_freq=np.logspace(7, -3, 101), distributions={
+        "DRT": {"kernel": "DRT"},
+        "TP-DDT": {"kernel": "DDT", "symmetry": "planar",
+                   "bc": "transmissive", "dist_type": "parallel",
+                   "x_scale": 3.0}})
+    inv.fit(freq, Z, nonneg=True, outliers=True, random_seed=0, n_restarts=8,
+            check_outliers=False)
+    assert inv.stan_model_name == "Series-Parallel_pos_outliers"
+
+    ref = pd.read_csv("/root/reference/code_EchemActa/map_results/"
+                      "Gout_PDAC_DRT-TpDDT_outliers.csv")
+    for name, col in [("DRT", "gamma"), ("TP-DDT", "ftp")]:
+        g = inv.predict_distribution(name, eval_tau=ref["tau"].values)
+        scale = np.max(np.abs(ref[col].values))
+        rmse = np.sqrt(np.mean((g - ref[col].values) ** 2))
+        # agreement with the committed reference fit of the same data
+        assert rmse < 0.35 * scale, (col, rmse, scale)
+    z_hat = inv.predict_Z(freq)
+    assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.03
