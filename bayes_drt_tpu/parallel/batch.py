@@ -33,6 +33,15 @@ from ..infer.ridge import HyperLambdaConfig, RidgeData, run_hyper_lambda
 from ..progcache import cached_program as _cached_program, data_shapes
 
 
+def _pad_rows(arr, b):
+    """Pad the leading (spectra) axis to b rows by repeating the first row
+    (matches _pad_pow2's padding of the spectra themselves)."""
+    if arr.shape[0] == b:
+        return arr
+    pad = np.repeat(arr[:1], b - arr.shape[0], axis=0)
+    return np.concatenate([arr, pad], axis=0)
+
+
 def _pad_pow2(Z_batch, min_size: int = 8):
     """Pad the batch to the next power of two (>= min_size) by repeating the
     first spectrum. Batch runtime is nearly flat in B, and padding means a
@@ -139,7 +148,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       flat_tree: bool = False,
                       fused_draws: bool = False,
                       tree_scan: bool = False,
-                      scan_unroll: int = 1) -> BatchFitResult:
+                      scan_unroll: int = 1,
+                      warm_start: "BatchFitResult" = None) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
     Z_batch: complex array (B, N). mode='sample' runs ``chains`` NUTS chains
@@ -161,6 +171,12 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     posterior geometry (replicates, parameter sweeps, time series); the
     pilot budget is taken out of ``warmup``, so the total NUTS iterations
     per chain stay warmup+samples.
+
+    ``warm_start`` (sample mode): a previous sample-mode BatchFitResult for
+    the SAME batch layout (B, chains, model). Chains resume from that
+    fit's final positions with its adapted per-chain metric held fixed
+    (step size re-adapts), so a chained refit of slowly-evolving spectra
+    (streaming/time-series serving) needs only a small ``warmup``.
     """
     Z_batch = np.asarray(Z_batch)
     Z_batch, b_real = _pad_pow2(Z_batch)
@@ -220,6 +236,11 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 "accept_prob": info["accept_prob"].mean(),
                 "n_leapfrog": info["n_leapfrog"].astype(jnp.float32).mean(),
                 "logp_rhat": lp_rhat,
+                # sampler state for chained refits (warm_start=): final
+                # positions, adapted metric, and adapted step size per chain
+                "state_q": draws[:, -1, :],
+                "state_inv_mass": info["inv_mass"],
+                "state_step_size": info["step_size"],
             }
             for i in range(1, n_dists):
                 xi = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))[f"x_{i}"])(flat)
@@ -273,7 +294,48 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 prog_extra, mesh)
 
     extra_args = ()
-    if mode == "sample" and precondition == "pooled":
+    if mode == "sample" and warm_start is not None:
+        # ---- chained refit: resume from a previous batch's sampler state ----
+        # (production serving: streaming/time-series spectra where the
+        # posterior moves slowly between batches — chains start at the last
+        # positions with the already-adapted metric fixed and only the step
+        # size re-adapting, so ``warmup`` can be a small fraction of a cold
+        # start's)
+        if precondition is not None:
+            raise ValueError("warm_start and precondition are mutually "
+                             "exclusive")
+        ws = warm_start.diagnostics
+        for k in ("state_q", "state_inv_mass", "state_step_size"):
+            if k not in ws:
+                raise ValueError(
+                    "warm_start must be a sample-mode BatchFitResult carrying "
+                    f"sampler state (missing diagnostics[{k!r}])")
+        wq = _pad_rows(np.asarray(ws["state_q"]), b)
+        wm = _pad_rows(np.asarray(ws["state_inv_mass"]), b)
+        weps = _pad_rows(np.asarray(ws["state_step_size"]), b)
+        if wq.shape[1] != chains:
+            raise ValueError(f"warm_start carries {wq.shape[1]} chains, "
+                             f"this fit requests {chains}")
+        warm_cfg = nuts_cfg._replace(adapt_mass=False)
+
+        def fit_one(target, skey, wq_, wm_, weps_, dat):   # noqa: F811
+            logp = logp_for(dat, target)
+
+            def one_chain(ckey, q0, m_inv_c, eps_c):
+                return sample_nuts(logp, q0, ckey, warmup=warmup,
+                                   samples=samples, cfg=warm_cfg,
+                                   metric=m_inv_c, init_step_size=eps_c)
+
+            draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains),
+                                              wq_, wm_, weps_)
+            return summarize(dat, draws, info)
+
+        extra_args = (jnp.asarray(wq, dtype), jnp.asarray(wm, dtype),
+                      jnp.asarray(weps, dtype))
+        shared_args = (data,)
+        fit_in_axes = (0, 0, 0, 0, 0, None)
+        prog_key = base_key + ("warm", warm_cfg, chains, warmup, samples)
+    elif mode == "sample" and precondition == "pooled":
         # ---- stage 1: short diagonal-metric pilot over the whole batch ----
         def pilot_one(target, skey, dat):
             logp = logp_for(dat, target)

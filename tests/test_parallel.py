@@ -212,3 +212,52 @@ def test_sharded_batch_actually_partitions():
     # the shards tile the batch axis: disjoint single-row ranges covering 0..8
     ranges = sorted((lo, hi) for _, lo, hi in layout)
     assert ranges == [(i, i + 1) for i in range(8)], layout
+
+
+def test_warm_start_chained_refit():
+    """Chained batch refits (production serving): a second batch of
+    slightly-evolved spectra resumes from the first fit's sampler state
+    with a small warmup and matches a cold fit's recovery."""
+    df = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    rng = np.random.default_rng(0)
+    Zb0 = np.stack([Z, Z]) + 0.002 * (rng.standard_normal((2, len(Z)))
+                                      + 1j * rng.standard_normal((2, len(Z))))
+    # 'evolved' batch: slightly scaled spectra (posterior moved a little)
+    Zb1 = 1.03 * Zb0
+
+    res0 = fit_spectra_batch(freq, Zb0, mode="sample", chains=2, warmup=150,
+                             samples=100, max_tree_depth=6, random_seed=0,
+                             ncp=True, tree_scan=True)
+    for k in ("state_q", "state_inv_mass", "state_step_size"):
+        assert k in res0.diagnostics
+    assert res0.diagnostics["state_q"].shape[:2] == (2, 2)
+
+    # warm refit with a fraction of the warmup
+    res1 = fit_spectra_batch(freq, Zb1, mode="sample", chains=2, warmup=30,
+                             samples=100, max_tree_depth=6, random_seed=1,
+                             ncp=True, tree_scan=True, warm_start=res0)
+    # cold fit at the full budget as the quality bar
+    res_cold = fit_spectra_batch(freq, Zb1, mode="sample", chains=2,
+                                 warmup=150, samples=100, max_tree_depth=6,
+                                 random_seed=1, ncp=True, tree_scan=True)
+
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g_warm = evaluate_gamma(res1, gt["tau"].values)
+    g_cold = evaluate_gamma(res_cold, gt["tau"].values)
+    truth = 1.03 * gt["gamma"].values
+    rp = np.trapezoid(truth, np.log(gt["tau"].values))
+    rmse_warm = np.sqrt(np.mean((g_warm.mean(axis=0) - truth) ** 2))
+    rmse_cold = np.sqrt(np.mean((g_cold.mean(axis=0) - truth) ** 2))
+    # warm refit at 1/5 the warmup must match the cold fit's quality
+    assert rmse_warm < max(1.5 * rmse_cold, 0.05 * rp), (rmse_warm, rmse_cold)
+    assert res1.diagnostics["divergence_rate"].mean() < 0.05
+
+    # config guards
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        fit_spectra_batch(freq, Zb1, mode="sample", chains=2, warmup=10,
+                          samples=10, warm_start=res0, precondition="pooled")
+    with pytest.raises(ValueError, match="chains"):
+        fit_spectra_batch(freq, Zb1, mode="sample", chains=4, warmup=10,
+                          samples=10, warm_start=res0)
