@@ -310,6 +310,13 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 raise ValueError(
                     "warm_start must be a sample-mode BatchFitResult carrying "
                     f"sampler state (missing diagnostics[{k!r}])")
+        if ws.get("state_cfg") is not None and ws["state_cfg"] != cfg:
+            raise ValueError(
+                "warm_start was sampled under a different model "
+                f"configuration ({ws['state_cfg'].model_name()}, "
+                f"ncp={ws['state_cfg'].ncp}) than this fit "
+                f"({cfg.model_name()}, ncp={cfg.ncp}); resuming across "
+                "parameterizations would mix coordinate systems")
         wq = _pad_rows(np.asarray(ws["state_q"]), b)
         wm = _pad_rows(np.asarray(ws["state_inv_mass"]), b)
         weps = _pad_rows(np.asarray(ws["state_step_size"]), b)
@@ -458,6 +465,10 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     scale0 = rescale(0)
     diagnostics = {k: out[k] for k in out
                    if k not in ("coef", "coef_lo", "coef_hi", "r_inf", "induc")}
+    if mode == "sample":
+        # static model config alongside the sampler state, so warm_start can
+        # refuse resumes across parameterizations
+        diagnostics["state_cfg"] = cfg
     if shard_layout is not None:
         diagnostics["shard_layout"] = shard_layout
     for i in range(1, n_dists):

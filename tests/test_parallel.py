@@ -260,4 +260,17 @@ def test_warm_start_chained_refit():
                           samples=10, warm_start=res0, precondition="pooled")
     with pytest.raises(ValueError, match="chains"):
         fit_spectra_batch(freq, Zb1, mode="sample", chains=4, warmup=10,
-                          samples=10, warm_start=res0)
+                          samples=10, ncp=True, warm_start=res0)
+
+
+def test_warm_start_rejects_parameterization_mismatch():
+    """Resuming a centered fit from a non-centered fit's state would mix
+    coordinate systems; the config guard refuses it."""
+    freq, Zb = load_batch(b=2)
+    res0 = fit_spectra_batch(freq, Zb, mode="sample", chains=2, warmup=30,
+                             samples=20, max_tree_depth=5, random_seed=0,
+                             ncp=True, tree_scan=True)
+    with pytest.raises(ValueError, match="different model"):
+        fit_spectra_batch(freq, Zb, mode="sample", chains=2, warmup=10,
+                          samples=10, max_tree_depth=5, random_seed=1,
+                          ncp=False, tree_scan=True, warm_start=res0)
