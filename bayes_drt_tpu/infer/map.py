@@ -56,7 +56,7 @@ def run_lbfgs(loss_fn: Callable, x0, max_iter: int = 4000, tol: float = 1e-8,
         updates, state = opt.update(grad, state, params, value=value,
                                     grad=grad, value_fn=loss_fn)
         params = optax.apply_updates(params, updates)
-        gnorm = otu.tree_linf_norm(grad)
+        gnorm = otu.tree_norm(grad, ord=jnp.inf)
         return params, state, value, gnorm
 
     def cond(carry):

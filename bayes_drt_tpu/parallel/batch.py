@@ -69,6 +69,7 @@ class BatchFitResult(NamedTuple):
     tau: np.ndarray           # (K,)
     epsilon: float
     diagnostics: dict
+    basis: str = "gaussian"   # RBF family the coefficients live in
 
 
 def _cpu_context():
@@ -83,7 +84,8 @@ def _cpu_context():
 
 
 def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
-                  nonneg=False, dtype=None, distributions=None, ncp=False):
+                  nonneg=False, dtype=None, distributions=None, ncp=False,
+                  basis="gaussian"):
     """Shared per-batch setup: matrices at the common frequency grid for an
     arbitrary distributions dict (default: single series DRT)."""
     if dtype is None:
@@ -96,9 +98,17 @@ def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
         # Inverter.set_distributions)
         distributions = {k: dict(v) for k, v in distributions.items()}
         for info in distributions.values():
-            info.setdefault("dist_type",
-                            "series" if info.get("kernel") == "DRT"
-                            else "parallel")
+            if info.get("kernel") == "DRT":
+                info.setdefault("dist_type", "series")
+            else:
+                # same defaults as Inverter.set_distributions so an
+                # under-specified DDT dict yields identical matrices and
+                # Ystar scaling through both APIs (bc defaults to
+                # 'blocking', NOT construct_A's 'transmissive')
+                info.setdefault("dist_type", "parallel")
+                info.setdefault("symmetry", "planar")
+                info.setdefault("bc", "blocking")
+                info.setdefault("ct", False)
 
     build_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     dist_mats = {}
@@ -113,7 +123,8 @@ def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
             eps = info.get("epsilon", epsilon)
             eps = default_epsilon(tau) if eps is None else float(eps)
             f_coll = 1.0 / (2 * np.pi * tau)
-            kw = dict(tau=tau, epsilon=eps, kernel=info.get("kernel", "DRT"),
+            kw = dict(tau=tau, epsilon=eps, basis=info.get("basis", basis),
+                      kernel=info.get("kernel", "DRT"),
                       dist_type=info["dist_type"],
                       symmetry=info.get("symmetry", "planar"),
                       bc=info.get("bc", "transmissive"),
@@ -125,7 +136,8 @@ def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
             }
             for o in (0, 1, 2):
                 mats[f"L{o}"] = np.asarray(construct_L(
-                    f_coll, tau=tau, epsilon=eps, order=o, dtype=build_dtype))
+                    f_coll, tau=tau, epsilon=eps, order=o,
+                    basis=info.get("basis", basis), dtype=build_dtype))
             dist_mats[name] = mats
             if first_tau is None:
                 first_tau, first_eps = tau, eps
@@ -146,9 +158,9 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       pilot_warmup: int = 50, pilot_samples: int = 25,
                       ncp: bool = False, unroll: int = 1,
                       flat_tree: bool = False,
-                      fused_draws: bool = False,
                       tree_scan: bool = False,
                       scan_unroll: int = 1,
+                      basis: str = "gaussian",
                       warm_start: "BatchFitResult" = None) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
@@ -186,7 +198,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     frequencies, tau, eps, cfg, data, dists_norm = _build_shared(
         frequencies, basis_freq, epsilon, mode="sample" if mode == "sample" else "optimize",
         nonneg=nonneg, dtype=dtype, distributions=distributions,
-        ncp=ncp and mode == "sample")
+        ncp=ncp and mode == "sample", basis=basis)
     n_dists = len(cfg.dists)
 
     # per-spectrum scaling, including the calibrated Ystar admittance-std
@@ -208,7 +220,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
 
     if mode == "sample":
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
-                              flat_tree=flat_tree, fused_draws=fused_draws,
+                              flat_tree=flat_tree,
                               tree_scan=tree_scan, scan_unroll=scan_unroll)
 
         def summarize(dat, draws, info):
@@ -317,6 +329,15 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 f"ncp={ws['state_cfg'].ncp}) than this fit "
                 f"({cfg.model_name()}, ncp={cfg.ncp}); resuming across "
                 "parameterizations would mix coordinate systems")
+        b_prev = np.asarray(ws["state_q"]).shape[0]
+        if b_prev != b_real:
+            # silently padding a smaller prior batch would seed real spectra
+            # with spectrum-0's positions and fixed metric; a larger one
+            # would crash deep inside np.repeat
+            raise ValueError(
+                f"warm_start holds sampler state for {b_prev} spectra but "
+                f"this fit has {b_real}; chained refits must keep the batch "
+                "layout (same spectra, same order) across calls")
         wq = _pad_rows(np.asarray(ws["state_q"]), b)
         wm = _pad_rows(np.asarray(ws["state_inv_mass"]), b)
         weps = _pad_rows(np.asarray(ws["state_step_size"]), b)
@@ -399,7 +420,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         main_warmup = max(20, warmup - pilot_warmup - pilot_samples)
         main_cfg = NUTSConfig(max_depth=max_tree_depth, adapt_mass=False,
                               unroll=unroll, flat_tree=flat_tree,
-                              fused_draws=fused_draws, tree_scan=tree_scan,
+                              tree_scan=tree_scan,
                               scan_unroll=scan_unroll)
 
         def fit_one(target, skey, q0c, dat, m_inv, chol):  # noqa: F811 — pooled-path override
@@ -480,7 +501,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         inductance=out["induc"] * z_scales,
         gamma_lo=out["coef_lo"] * scale0 if mode == "sample" else None,
         gamma_hi=out["coef_hi"] * scale0 if mode == "sample" else None,
-        z_scales=z_scales, tau=tau, epsilon=eps, diagnostics=diagnostics)
+        z_scales=z_scales, tau=tau, epsilon=eps, diagnostics=diagnostics,
+        basis=dists_norm[next(iter(dists_norm))].get("basis", basis))
 
 
 def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
@@ -491,7 +513,6 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                        max_tree_depth: int = 10, dtype=None,
                        ncp: bool = False, unroll: int = 1,
                       flat_tree: bool = False,
-                      fused_draws: bool = False,
                       tree_scan: bool = False,
                       scan_unroll: int = 1) -> BatchFitResult:
     """Fit spectra with DIFFERENT frequency grids in one XLA program.
@@ -561,7 +582,7 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
 
     if mode == "sample":
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
-                              flat_tree=flat_tree, fused_draws=fused_draws,
+                              flat_tree=flat_tree,
                               tree_scan=tree_scan, scan_unroll=scan_unroll)
 
         def fit_one(A_stack, target, freq_row, mask_row, skey, dat):
@@ -750,10 +771,13 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
 
 
 def evaluate_gamma(result: BatchFitResult, eval_tau, which: str = "coef"):
-    """gamma(tau) curves for every spectrum in a batch result."""
+    """gamma(tau) curves for every spectrum in a batch result, using the
+    basis family the fit was built with (result.basis)."""
+    from ..ops.basis import get_basis_func
     eval_tau = np.asarray(eval_tau, float)
     coefs = {"coef": result.coef, "lo": result.gamma_lo,
              "hi": result.gamma_hi}[which]
-    bases = np.exp(-((result.epsilon
-                      * np.log(eval_tau[:, None] / result.tau[None, :])) ** 2))
+    phi = get_basis_func(getattr(result, "basis", "gaussian"))
+    y = np.log(eval_tau[:, None] / result.tau[None, :])
+    bases = np.asarray(phi(y, result.epsilon))
     return coefs @ bases.T
