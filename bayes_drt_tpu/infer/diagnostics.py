@@ -78,6 +78,54 @@ def ess(draws) -> np.ndarray:
     return out
 
 
+def ess_jnp(draws):
+    """Bulk ESS as a pure-jnp program: (chains, n, d) -> (d,).
+
+    Same estimator as :func:`ess` (split chains, FFT autocovariance, Geyer
+    initial monotone positive sequence) but jit/vmap-compatible so it can
+    run ON DEVICE inside a batched sampling program — the data-dependent
+    truncation becomes a masked prefix (cumprod of the pair-positivity
+    flags) and the monotone enforcement a cumulative minimum. Matches the
+    numpy version to float tolerance; powers the in-program min-ESS
+    diagnostics of fit_spectra_batch (BASELINE.json's headline metric is
+    HMC ESS/sec, reference: Stan's sampling output, inversion.py:1218-1221).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = draws
+    c0, n0 = x.shape[0], x.shape[1]
+    half = n0 // 2
+    x = jnp.concatenate([x[:, :half], x[:, half:2 * half]], axis=0)
+    c, n = 2 * c0, half
+    if n < 4:
+        return jnp.full(x.shape[-1], float(c * n), x.dtype)
+
+    xc = x - x.mean(axis=1, keepdims=True)
+    m = int(2 ** np.ceil(np.log2(2 * n)))
+    f = jnp.fft.rfft(xc, n=m, axis=1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=m, axis=1)[:, :n].real / n
+
+    chain_var = acov[:, 0]                                   # (c, d)
+    mean_var = chain_var.mean(axis=0) * n / (n - 1.0)
+    var_plus = mean_var * (n - 1.0) / n + x.mean(axis=1).var(axis=0, ddof=1)
+    var_plus = jnp.where(var_plus > 0, var_plus, 1.0)
+
+    rho = 1.0 - (mean_var - acov.mean(axis=0)) / var_plus    # (n, d)
+    rho = rho.at[0].set(1.0)
+
+    n_pairs = n // 2
+    pair = rho[0:2 * n_pairs:2] + rho[1:2 * n_pairs:2]       # (n_pairs, d)
+    # initial positive sequence: keep the maximal prefix of nonneg pair sums
+    kept = jnp.cumprod((pair >= 0).astype(rho.dtype), axis=0)
+    # monotone decrease over the kept prefix (masked entries sit at +inf so
+    # they never lower the running minimum, and are zeroed out of the sum)
+    mono = jax.lax.cummin(jnp.where(kept > 0, pair, jnp.inf), axis=0)
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(kept > 0, mono, 0.0), axis=0)
+    tau = jnp.maximum(tau, 1.0 / np.log10(c * n + 10.0))
+    return c * n / tau
+
+
 def e_bfmi(energy) -> float:
     """Energy Bayesian fraction of missing information (Betancourt 2016):
     Var(dE)/Var(E) per chain, averaged. Values < ~0.3 flag poor energy-set

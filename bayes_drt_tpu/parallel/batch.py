@@ -27,6 +27,8 @@ from ..ops.matrices import (construct_A, construct_L, construct_M,
                             default_epsilon, get_tau_basis)
 from ..models.build import build_posterior, z_scale_for
 from ..models.posterior import constrain, init_unconstrained, log_density
+from ..infer.diagnostics import ess_jnp
+from ..infer.chees import ChEESConfig, sample_chees
 from ..infer.nuts import NUTSConfig, sample_nuts
 from ..infer.map import run_lbfgs
 from ..infer.ridge import HyperLambdaConfig, RidgeData, run_hyper_lambda
@@ -161,6 +163,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       tree_scan: bool = False,
                       scan_unroll: int = 1,
                       basis: str = "gaussian",
+                      gamma_eval_tau=None,
+                      sampler: str = "nuts", chees_cfg=None,
                       warm_start: "BatchFitResult" = None) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
@@ -219,11 +223,32 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         return lambda q: log_density(cfg, d, unravel(q), jacobian=(mode == "sample"))
 
     if mode == "sample":
+        # basis-evaluation matrices for in-program gamma diagnostics of the
+        # FIRST distribution: phi_mon feeds the per-spectrum bulk-ESS monitor
+        # (gamma at n_mon points spanning the grid, plus logp); phi_eval
+        # (optional, from gamma_eval_tau) yields TRUE pointwise posterior
+        # credible bands of gamma(tau) — per-draw evaluation, unlike the
+        # conservative per-coefficient coef_lo/hi bands
+        from ..ops.basis import get_basis_func
+        phi_fn = get_basis_func(basis)
+        k0 = len(tau)
+        mon_idx = np.unique(np.linspace(0, k0 - 1, 8).astype(int))
+        phi_mon_np = np.asarray(phi_fn(
+            np.log(tau[mon_idx][:, None] / tau[None, :]), eps))
+        if gamma_eval_tau is not None:
+            ge_tau = np.asarray(gamma_eval_tau, float)
+            phi_eval_np = np.asarray(phi_fn(
+                np.log(ge_tau[:, None] / tau[None, :]), eps))
+        else:
+            phi_eval_np = np.zeros((0, k0))
+        phi_mon_j = jnp.asarray(phi_mon_np, dtype)
+        phi_eval_j = jnp.asarray(phi_eval_np, dtype)
+
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
                               flat_tree=flat_tree,
                               tree_scan=tree_scan, scan_unroll=scan_unroll)
 
-        def summarize(dat, draws, info):
+        def summarize(dat, draws, info, phi_mon, phi_eval):
             flat = draws.reshape(-1, draws.shape[-1])
             xs = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["x_0"])(flat)
             rinf = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["Rinf"])(flat)
@@ -254,25 +279,78 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 "state_inv_mass": info["inv_mass"],
                 "state_step_size": info["step_size"],
             }
+            # bulk ESS of logp and of gamma at monitor points: the quality
+            # floor a throughput number is meaningless without (ESS/sec is
+            # the BASELINE headline metric). ESS is invariant to the Z
+            # scaling, so scaled-space gamma is fine here.
+            gmon = (xs @ phi_mon.T).reshape(chains, samples, -1)
+            mon = jnp.concatenate([lp[:, :, None], gmon], axis=-1)
+            ess_q = ess_jnp(mon)
+            out["ess_logp"] = ess_q[0]
+            out["min_ess"] = ess_q.min()
+            if phi_eval.shape[0] > 0:
+                ge = xs @ phi_eval.T
+                out["gamma_eval_mean"] = ge.mean(axis=0)
+                out["gamma_eval_lo"] = jnp.percentile(ge, 2.5, axis=0)
+                out["gamma_eval_hi"] = jnp.percentile(ge, 97.5, axis=0)
             for i in range(1, n_dists):
                 xi = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))[f"x_{i}"])(flat)
                 out[f"coef_{i}"] = xi.mean(axis=0)
             return out
 
-        def fit_one(target, skey, dat):
-            logp = logp_for(dat, target)
+        def init_q0s(dat, target, k_init, n):
+            p0s = jax.vmap(lambda k: init_unconstrained(
+                cfg, dat._replace(target=target), k))(jax.random.split(k_init, n))
+            return jax.vmap(lambda p: ravel_pytree(
+                jax.tree.map(lambda a: a.astype(dtype), p))[0])(p0s)
 
-            def one_chain(ckey):
-                k_init, k_run = jax.random.split(ckey)
-                p0 = init_unconstrained(cfg, dat._replace(target=target), k_init)
-                q0, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
-                return sample_nuts(logp, q0, k_run, warmup=warmup,
-                                   samples=samples, cfg=nuts_cfg)
+        def chees_summary(dat, target, draws, info, phi_mon, phi_eval):
+            # ChEES adapts ONE metric/step-size/trajectory for all chains of
+            # a spectrum; broadcast to the per-chain layout warm_start and
+            # the shared summarize expect
+            info = dict(info)
+            info["inv_mass"] = jnp.broadcast_to(
+                info["inv_mass"][None, :], (chains,) + info["inv_mass"].shape)
+            info["step_size"] = jnp.broadcast_to(info["step_size"], (chains,))
+            out = summarize(dat, draws, info, phi_mon, phi_eval)
+            out["state_traj_time"] = info["traj_time"]
+            return out
 
-            draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains))
-            return summarize(dat, draws, info)
+        if sampler == "chees":
+            ch_cfg = chees_cfg if chees_cfg is not None else ChEESConfig()
 
-        prog_extra = (nuts_cfg, chains, warmup, samples)
+            def fit_one(target, skey, dat, phi_mon, phi_eval):
+                logp = logp_for(dat, target)
+                k_init, k_run = jax.random.split(skey)
+                q0 = init_q0s(dat, target, k_init, chains)
+                draws, info = sample_chees(logp, q0, k_run, warmup=warmup,
+                                           samples=samples, cfg=ch_cfg)
+                return chees_summary(dat, target, draws, info,
+                                     phi_mon, phi_eval)
+
+            prog_extra = ("chees", ch_cfg, chains, warmup, samples,
+                          phi_mon_np.shape, phi_eval_np.shape)
+        elif sampler == "nuts":
+            def fit_one(target, skey, dat, phi_mon, phi_eval):
+                logp = logp_for(dat, target)
+
+                def one_chain(ckey):
+                    k_init, k_run = jax.random.split(ckey)
+                    p0 = init_unconstrained(cfg, dat._replace(target=target),
+                                            k_init)
+                    q0, _ = ravel_pytree(
+                        jax.tree.map(lambda a: a.astype(dtype), p0))
+                    return sample_nuts(logp, q0, k_run, warmup=warmup,
+                                       samples=samples, cfg=nuts_cfg)
+
+                draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains))
+                return summarize(dat, draws, info, phi_mon, phi_eval)
+
+            prog_extra = (nuts_cfg, chains, warmup, samples,
+                          phi_mon_np.shape, phi_eval_np.shape)
+        else:
+            raise ValueError(f"Unknown sampler {sampler!r}; options are "
+                             "'nuts', 'chees'")
     else:
         def fit_one(target, skey, dat):
             logp = logp_for(dat, target)
@@ -344,26 +422,62 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         if wq.shape[1] != chains:
             raise ValueError(f"warm_start carries {wq.shape[1]} chains, "
                              f"this fit requests {chains}")
-        warm_cfg = nuts_cfg._replace(adapt_mass=False)
+        if sampler == "chees":
+            # resume with the pooled (chains share one) metric/step size and
+            # the adapted trajectory time, all held fixed
+            warm_ch = (chees_cfg if chees_cfg is not None
+                       else ChEESConfig())._replace(adapt_mass=False)
+            wtt = np.asarray(ws.get("state_traj_time",
+                                    np.full(b_prev, np.nan)))
+            if np.any(np.isnan(wtt)):
+                raise ValueError(
+                    "warm_start for sampler='chees' needs "
+                    "diagnostics['state_traj_time'] (a previous chees fit)")
+            wtt = _pad_rows(wtt, b)
 
-        def fit_one(target, skey, wq_, wm_, weps_, dat):   # noqa: F811
-            logp = logp_for(dat, target)
+            def fit_one(target, skey, wq_, wm_, weps_, wtt_, dat, phi_mon,
+                        phi_eval):   # noqa: F811
+                logp = logp_for(dat, target)
+                draws, info = sample_chees(
+                    logp, wq_, skey, warmup=warmup, samples=samples,
+                    cfg=warm_ch, metric=wm_.mean(axis=0),
+                    init_step_size=weps_.mean(), init_traj_time=wtt_)
+                return chees_summary(dat, target, draws, info,
+                                     phi_mon, phi_eval)
 
-            def one_chain(ckey, q0, m_inv_c, eps_c):
-                return sample_nuts(logp, q0, ckey, warmup=warmup,
-                                   samples=samples, cfg=warm_cfg,
-                                   metric=m_inv_c, init_step_size=eps_c)
+            extra_args = (jnp.asarray(wq, dtype), jnp.asarray(wm, dtype),
+                          jnp.asarray(weps, dtype), jnp.asarray(wtt, dtype))
+            shared_args = (data, phi_mon_j, phi_eval_j)
+            fit_in_axes = (0, 0, 0, 0, 0, 0, None, None, None)
+            prog_key = base_key + ("warm-chees", warm_ch, chains, warmup,
+                                   samples)
+        else:
+            warm_cfg = nuts_cfg._replace(adapt_mass=False)
 
-            draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains),
-                                              wq_, wm_, weps_)
-            return summarize(dat, draws, info)
+            def fit_one(target, skey, wq_, wm_, weps_, dat, phi_mon, phi_eval):   # noqa: F811
+                logp = logp_for(dat, target)
 
-        extra_args = (jnp.asarray(wq, dtype), jnp.asarray(wm, dtype),
-                      jnp.asarray(weps, dtype))
-        shared_args = (data,)
-        fit_in_axes = (0, 0, 0, 0, 0, None)
-        prog_key = base_key + ("warm", warm_cfg, chains, warmup, samples)
+                def one_chain(ckey, q0, m_inv_c, eps_c):
+                    return sample_nuts(logp, q0, ckey, warmup=warmup,
+                                       samples=samples, cfg=warm_cfg,
+                                       metric=m_inv_c, init_step_size=eps_c)
+
+                draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains),
+                                                  wq_, wm_, weps_)
+                return summarize(dat, draws, info, phi_mon, phi_eval)
+
+            extra_args = (jnp.asarray(wq, dtype), jnp.asarray(wm, dtype),
+                          jnp.asarray(weps, dtype))
+            shared_args = (data, phi_mon_j, phi_eval_j)
+            fit_in_axes = (0, 0, 0, 0, 0, None, None, None)
+            prog_key = base_key + ("warm", warm_cfg, chains, warmup, samples)
     elif mode == "sample" and precondition == "pooled":
+        if sampler == "chees":
+            raise ValueError(
+                "precondition='pooled' builds a dense metric; sample_chees "
+                "supports diagonal metrics only (its chain-pooled Welford "
+                "adaptation replaces the pooled pilot). Use sampler='nuts' "
+                "or drop precondition.")
         # ---- stage 1: short diagonal-metric pilot over the whole batch ----
         def pilot_one(target, skey, dat):
             logp = logp_for(dat, target)
@@ -423,7 +537,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                               tree_scan=tree_scan,
                               scan_unroll=scan_unroll)
 
-        def fit_one(target, skey, q0c, dat, m_inv, chol):  # noqa: F811 — pooled-path override
+        def fit_one(target, skey, q0c, dat, m_inv, chol, phi_mon, phi_eval):  # noqa: F811 — pooled-path override
             logp = logp_for(dat, target)
 
             def one_chain(ckey, q0):
@@ -436,16 +550,20 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
 
             draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains),
                                               q0c)
-            return summarize(dat, draws, info)
+            return summarize(dat, draws, info, phi_mon, phi_eval)
 
         spectrum_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(spectrum_keys)
         extra_args = (q0_main,)
-        shared_args = (data, m_inv_j, chol_j)
-        fit_in_axes = (0, 0, 0, None, None, None)
+        shared_args = (data, m_inv_j, chol_j, phi_mon_j, phi_eval_j)
+        fit_in_axes = (0, 0, 0, None, None, None, None, None)
         prog_key = base_key + ("pooled-main", main_cfg, main_warmup, samples)
     else:
-        shared_args = (data,)
-        fit_in_axes = (0, 0, None)
+        if mode == "sample":
+            shared_args = (data, phi_mon_j, phi_eval_j)
+            fit_in_axes = (0, 0, None, None, None)
+        else:
+            shared_args = (data,)
+            fit_in_axes = (0, 0, None)
         prog_key = base_key
 
     def build_fit():
@@ -495,6 +613,9 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     for i in range(1, n_dists):
         if f"coef_{i}" in diagnostics:
             diagnostics[f"coef_{i}"] = diagnostics[f"coef_{i}"] * rescale(i)
+    for k_ge in ("gamma_eval_mean", "gamma_eval_lo", "gamma_eval_hi"):
+        if k_ge in diagnostics:
+            diagnostics[k_ge] = diagnostics[k_ge] * scale0
     return BatchFitResult(
         coef=out["coef"] * scale0,
         r_inf=out["r_inf"] * z_scales,
