@@ -372,3 +372,224 @@ def sample_chees(logp_fn: Callable, q0, key, warmup: int = 500,
         "warmup_traj_time": warm_traj,
     }
     return draws, info
+
+
+class SHMCConfig(NamedTuple):
+    """Synchronous jittered static multinomial HMC (sample_shmc).
+
+    The fully batch-synchronous form: every draw of every chain of every
+    spectrum runs EXACTLY ``n_steps`` leapfrogs as a static lax.scan — no
+    while_loop, no per-element trip counts, so a vmapped batch never waits
+    on a straggler and XLA pipelines the whole trajectory. ``n_steps`` is
+    the md-equivalent quality knob (NUTS at max_depth 5 runs 31 leapfrogs
+    on this posterior with the U-turn criterion never firing — a saturated
+    tree IS fixed-length multinomial HMC, minus ~70% per-leaf bookkeeping).
+    """
+    n_steps: int = 32
+    delta: float = 0.9            # adapt_delta (reference control)
+    t0: float = 10.0
+    gamma: float = 0.05
+    kappa: float = 0.75
+    max_energy_error: float = 1000.0
+    init_buffer: int = 75
+    term_buffer: int = 50
+    base_window: int = 25
+    adapt_mass: bool = True
+    leaf_unroll: int = 1          # lax.scan unroll of the n_steps leapfrog
+                                  # scan (XLA fuses across leaves)
+    draw_unroll: int = 1          # lax.scan unroll of the draws scan
+                                  # (amortizes the ~1.5 ms/draw fixed
+                                  # overhead measured on the TPU runtime)
+    jitter_lo: float = 0.67       # per-draw step-size multiplier h is
+                                  # halton-distributed in [jitter_lo, 1]:
+                                  # trajectory TIME jitters ~1.5x while the
+                                  # step count stays static (smaller h only
+                                  # improves integration accuracy)
+
+
+@partial(jax.jit, static_argnames=("logp_fn", "warmup", "samples", "cfg"))
+@precise_matmuls
+def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
+                samples: int = 500, cfg: SHMCConfig = SHMCConfig(),
+                init_step_size: float = 1.0, metric=None):
+    """Static multinomial HMC over all chains of one posterior: q0 is (C, D).
+
+    Each draw: sample momentum, split the static n-step trajectory
+    uniformly around the current state (j backward, n - j forward,
+    Betancourt's static scheme), integrate with a per-draw jittered step
+    size, and select the next state from all n + 1 states with multinomial
+    weights e^{H0 - H} via a streaming logsumexp. The split index and
+    jitter are shared across chains and spectra (quasi-random halton), so
+    the whole batch executes ONE identical static program per draw.
+
+    Warmup adaptation as in sample_chees: per-chain dual averaging on the
+    trajectory-averaged acceptance statistic, per-chain Welford pooled as
+    within-chain variance into one shared diagonal metric, pooled-min
+    sampling step size. vmap over spectra only (chains are internal).
+    """
+    value_and_grad = jax.vmap(jax.value_and_grad(logp_fn))
+    n_chains, dim = q0.shape
+    dtype = q0.dtype
+    total = warmup + samples
+    n_leap = cfg.n_steps
+    max_e = cfg.max_energy_error
+
+    logp0, grad0 = value_and_grad(q0)
+    if metric is not None:
+        m_inv0 = jnp.asarray(metric, dtype)
+    else:
+        m_inv0 = jnp.ones((dim,), dtype)
+    key, k_eps = jax.random.split(key)
+    eps0 = jax.vmap(
+        lambda q, lp, g, k: find_reasonable_step_size(
+            lambda qq: jax.value_and_grad(logp_fn)(qq), q, lp, g, k, m_inv0,
+            init_eps=init_step_size)
+    )(q0, logp0, grad0, jax.random.split(k_eps, n_chains))
+
+    if cfg.adapt_mass:
+        in_slow_np, win_end_np = _window_flags(warmup, cfg)
+    else:
+        in_slow_np = np.zeros(warmup, bool)
+        win_end_np = np.zeros(warmup, bool)
+    in_slow = jnp.asarray(np.concatenate([in_slow_np, np.zeros(samples, bool)]))
+    win_end = jnp.asarray(np.concatenate([win_end_np, np.zeros(samples, bool)]))
+    in_warm = jnp.asarray(np.arange(total) < warmup)
+    # two host-static quasi-random streams: step-size jitter and the
+    # trajectory split fraction
+    h1 = _halton2(total)
+    h2 = _halton2(2 * total)[total:]
+    jit_mult = jnp.asarray(cfg.jitter_lo + (1.0 - cfg.jitter_lo) * h1, dtype)
+    j_split = jnp.asarray(np.floor(h2 * (n_leap + 1)).clip(0, n_leap)
+                          .astype(np.int32))
+
+    da0 = jax.vmap(lambda e: _da_init(e, dtype))(eps0)
+    if cfg.adapt_mass:
+        wf0 = (jnp.zeros((n_chains, dim), dtype),
+               jnp.zeros((n_chains, dim), dtype), jnp.zeros((), dtype))
+    else:
+        wf0 = (jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
+               jnp.zeros((), dtype))
+
+    def step(carry, xs):
+        q, logp, grad, da, wf, m_inv, key = carry
+        is_warm, slow, wend, h, j = xs
+        key, k_mom, k_sel = jax.random.split(key, 3)
+
+        eps_samp = jnp.exp(da.log_eps_bar).min()
+        eps = jnp.where(is_warm, jnp.exp(da.log_eps),
+                        jnp.broadcast_to(eps_samp, (n_chains,)))
+        eps = eps * h
+        epsc = eps[:, None]
+
+        z = jax.random.normal(k_mom, (n_chains, dim), dtype)
+        p0 = z / jnp.sqrt(m_inv)[None, :]
+        kin0 = 0.5 * jnp.sum(p0 * p0 * m_inv[None, :], axis=1)
+        H0 = -logp + kin0
+
+        def leaf(st, i):
+            (qq, pp, gg, lp, logw, pq, plp, pgrad, pkin, sacc, dead) = st
+            # the backward leg integrates with +eps from (q, -p0) (momentum
+            # flip = time reversal); at i == j it ends — reset to the start
+            # state with +p0 and clear the freeze flag (a divergent backward
+            # leg must not block the forward one)
+            flip = i == j
+            qq = jnp.where(flip, q, qq)
+            pp = jnp.where(flip, p0, pp)
+            gg = jnp.where(flip, grad, gg)
+            lp = jnp.where(flip, logp, lp)
+            dead = jnp.where(flip, False, dead)
+
+            p_half = pp + 0.5 * epsc * gg
+            q_new = qq + epsc * p_half * m_inv[None, :]
+            lp_new, g_new = value_and_grad(q_new)
+            p_new = p_half + 0.5 * epsc * g_new
+            kin = 0.5 * jnp.sum(p_new * p_new * m_inv[None, :], axis=1)
+            Hn = -lp_new + kin
+            w = H0 - Hn
+            bad = jnp.isnan(Hn) | ((Hn - H0) > max_e)
+            w = jnp.where(bad | dead, -jnp.inf, w)
+            logw_new = jnp.logaddexp(logw, w)
+            u = jax.random.uniform(jax.random.fold_in(k_sel, i),
+                                   (n_chains,), dtype)
+            take = jnp.log(u) < (w - logw_new)
+            pq = jnp.where(take[:, None], q_new, pq)
+            plp = jnp.where(take, lp_new, plp)
+            pgrad = jnp.where(take[:, None], g_new, pgrad)
+            pkin = jnp.where(take, kin, pkin)
+            sacc = sacc + jnp.minimum(1.0, jnp.exp(w))
+            dead_new = dead | bad
+            ok = (~dead_new)[:, None]
+            return ((jnp.where(ok, q_new, qq), jnp.where(ok, p_new, pp),
+                     jnp.where(ok, g_new, gg), jnp.where(ok[:, 0], lp_new, lp),
+                     logw_new, pq, plp, pgrad, pkin, sacc, dead_new),
+                    dead_new)
+
+        st0 = (q, -p0, grad, logp,
+               jnp.zeros(n_chains, dtype), q, logp, grad, kin0,
+               jnp.zeros(n_chains, dtype), jnp.zeros(n_chains, bool))
+        st, dead_trace = jax.lax.scan(leaf, st0, jnp.arange(n_leap),
+                                      unroll=cfg.leaf_unroll)
+        (_, p_end, _, _, logw, q_next, logp_next, grad_next, kin_next,
+         sacc, _) = st
+        diverging = dead_trace.any(axis=0)
+        accept_prob = sacc / n_leap
+        H1 = -logp_next + kin_next
+
+        da_new = _da_update(da, accept_prob, cfg)
+        da = jax.tree.map(lambda n_, o: jnp.where(is_warm, n_, o), da_new, da)
+
+        if cfg.adapt_mass:
+            mean, m2, n = wf
+            n1 = n + 1.0
+            dlt = q_next - mean
+            mean_new = mean + dlt / n1
+            m2_new = m2 + dlt * (q_next - mean_new)
+            wf = jax.tree.map(lambda a, b_: jnp.where(slow, a, b_),
+                              (mean_new, m2_new, n1), wf)
+            mean, m2, n = wf
+            var_within = (m2 / jnp.maximum(n - 1.0, 1.0)).mean(axis=0)
+            reg = _regularized_variance(var_within, n_chains * n)
+            m_inv = jnp.where(wend & (n > 1), reg, m_inv)
+            wf = jax.tree.map(lambda a: jnp.where(wend, jnp.zeros_like(a), a),
+                              wf)
+            da_reset = jax.vmap(lambda e: _da_init(e, dtype))(
+                jnp.exp(da.log_eps))
+            da = jax.tree.map(lambda r, o: jnp.where(wend, r, o), da_reset, da)
+
+        out = (q_next, logp_next, accept_prob, diverging,
+               jnp.broadcast_to(jnp.asarray(n_leap, jnp.int32), (n_chains,)),
+               H1)
+        return (q_next, logp_next, grad_next, da, wf, m_inv, key), out
+
+    def warm_step(carry, xs):
+        carry, out = step(carry, xs)
+        return carry, out[3]
+
+    def sample_step(carry, xs):
+        carry, out = step(carry, xs)
+        return carry, out
+
+    carry0 = (q0, logp0, grad0, da0, wf0, m_inv0, key)
+    xs_w = (in_warm[:warmup], in_slow[:warmup], win_end[:warmup],
+            jit_mult[:warmup], j_split[:warmup])
+    xs_s = (in_warm[warmup:], in_slow[warmup:], win_end[warmup:],
+            jit_mult[warmup:], j_split[warmup:])
+    carry, warm_div = jax.lax.scan(warm_step, carry0, xs_w,
+                                   unroll=cfg.draw_unroll)
+    carry, outs = jax.lax.scan(sample_step, carry, xs_s,
+                               unroll=cfg.draw_unroll)
+    q_s, logp_s, acc_s, div_s, nstep_s, en_s = outs
+    (_, _, _, da, _, m_inv, _) = carry
+
+    draws = jnp.swapaxes(q_s, 0, 1)
+    info = {
+        "logp": jnp.swapaxes(logp_s, 0, 1),
+        "accept_prob": jnp.swapaxes(acc_s, 0, 1),
+        "diverging": jnp.swapaxes(div_s, 0, 1),
+        "n_leapfrog": jnp.swapaxes(nstep_s, 0, 1),
+        "energy": jnp.swapaxes(en_s, 0, 1),
+        "step_size": jnp.exp(da.log_eps_bar),
+        "inv_mass": m_inv,
+        "warmup_diverging": jnp.swapaxes(warm_div, 0, 1),
+    }
+    return draws, info

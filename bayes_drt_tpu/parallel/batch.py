@@ -25,14 +25,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.matrices import (construct_A, construct_L, construct_M,
                             default_epsilon, get_tau_basis)
-from ..models.build import build_posterior, z_scale_for
+from ..models.build import (build_posterior, sort_distributions,
+                            z_scale_for)
 from ..models.posterior import constrain, init_unconstrained, log_density
 from ..infer.diagnostics import ess_jnp
-from ..infer.chees import ChEESConfig, sample_chees
+from ..infer.chees import (ChEESConfig, SHMCConfig, sample_chees,
+                           sample_shmc)
 from ..infer.nuts import NUTSConfig, sample_nuts
 from ..infer.map import run_lbfgs
-from ..infer.ridge import HyperLambdaConfig, RidgeData, run_hyper_lambda
-from ..progcache import cached_program as _cached_program, data_shapes
+from ..infer.ridge import (HyperLambdaConfig, RidgeData,
+                           run_hyper_lambda, run_ordinary_ridge)
+from ..progcache import (cached_program as _cached_program,
+                         data_shapes, precise_matmuls)
 
 
 def _pad_rows(arr, b):
@@ -85,6 +89,84 @@ def _cpu_context():
         return contextlib.nullcontext()
 
 
+def _make_summarize(cfg, unravel, chains, samples, n_dists):
+    """Per-spectrum posterior summary computed ON DEVICE from the chain
+    draws: posterior means/percentiles, convergence scalars (logp split-Rhat,
+    divergence/accept/leapfrog stats), per-spectrum bulk ESS of logp and of
+    gamma at monitor points (ESS/sec is the BASELINE headline metric — a
+    throughput number is meaningless without it), optional TRUE pointwise
+    gamma credible bands, and the sampler state for chained refits. Shared
+    by fit_spectra_batch and fit_spectra_ragged."""
+
+    def summarize(dat, draws, info, phi_mon, phi_eval):
+        flat = draws.reshape(-1, draws.shape[-1])
+        xs = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["x_0"])(flat)
+        rinf = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["Rinf"])(flat)
+        induc = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["induc"])(flat)
+        # split-Rhat of the per-chain log density: a cheap scalar
+        # convergence check per spectrum
+        lp = info["logp"]                             # (chains, samples)
+        half = lp.shape[1] // 2
+        lp_split = jnp.concatenate([lp[:, :half], lp[:, half:2 * half]])
+        cm = lp_split.mean(axis=1)
+        w_var = lp_split.var(axis=1, ddof=1).mean()
+        b_var = half * cm.var(ddof=1)
+        var_plus = (half - 1) / half * w_var + b_var / half
+        lp_rhat = jnp.sqrt(var_plus / jnp.maximum(w_var, 1e-12))
+        out = {
+            "coef": xs.mean(axis=0),
+            "coef_lo": jnp.percentile(xs, 2.5, axis=0),
+            "coef_hi": jnp.percentile(xs, 97.5, axis=0),
+            "r_inf": rinf.mean(),
+            "induc": induc.mean(),
+            "divergence_rate": info["diverging"].mean(),
+            "accept_prob": info["accept_prob"].mean(),
+            "n_leapfrog": info["n_leapfrog"].astype(jnp.float32).mean(),
+            "logp_rhat": lp_rhat,
+            # sampler state for chained refits (warm_start=): final
+            # positions, adapted metric, and adapted step size per chain
+            "state_q": draws[:, -1, :],
+            "state_inv_mass": info["inv_mass"],
+            "state_step_size": info["step_size"],
+        }
+        gmon = (xs @ phi_mon.T).reshape(chains, samples, -1)
+        mon = jnp.concatenate([lp[:, :, None], gmon], axis=-1)
+        ess_q = ess_jnp(mon)
+        out["ess_logp"] = ess_q[0]
+        out["min_ess"] = ess_q.min()
+        if phi_eval.shape[0] > 0:
+            ge = xs @ phi_eval.T
+            out["gamma_eval_mean"] = ge.mean(axis=0)
+            out["gamma_eval_lo"] = jnp.percentile(ge, 2.5, axis=0)
+            out["gamma_eval_hi"] = jnp.percentile(ge, 97.5, axis=0)
+        for i in range(1, n_dists):
+            xi = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))[f"x_{i}"])(flat)
+            out[f"coef_{i}"] = xi.mean(axis=0)
+        return out
+
+    return summarize
+
+
+def _normalize_distributions(distributions):
+    """Light normalization of the mini-DSL with the SAME defaults as
+    Inverter.set_distributions, so an under-specified DDT dict yields
+    identical matrices and Ystar scaling through both APIs (bc defaults to
+    'blocking', NOT construct_A's 'transmissive'). Full validation lives in
+    Inverter.set_distributions."""
+    if distributions is None:
+        return {"DRT": {"kernel": "DRT", "dist_type": "series"}}
+    distributions = {k: dict(v) for k, v in distributions.items()}
+    for info in distributions.values():
+        if info.get("kernel") == "DRT":
+            info.setdefault("dist_type", "series")
+        else:
+            info.setdefault("dist_type", "parallel")
+            info.setdefault("symmetry", "planar")
+            info.setdefault("bc", "blocking")
+            info.setdefault("ct", False)
+    return distributions
+
+
 def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
                   nonneg=False, dtype=None, distributions=None, ncp=False,
                   basis="gaussian"):
@@ -93,24 +175,7 @@ def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     frequencies = np.sort(np.asarray(frequencies, float))[::-1]
-    if distributions is None:
-        distributions = {"DRT": {"kernel": "DRT", "dist_type": "series"}}
-    else:
-        # light normalization of the mini-DSL (full validation lives in
-        # Inverter.set_distributions)
-        distributions = {k: dict(v) for k, v in distributions.items()}
-        for info in distributions.values():
-            if info.get("kernel") == "DRT":
-                info.setdefault("dist_type", "series")
-            else:
-                # same defaults as Inverter.set_distributions so an
-                # under-specified DDT dict yields identical matrices and
-                # Ystar scaling through both APIs (bc defaults to
-                # 'blocking', NOT construct_A's 'transmissive')
-                info.setdefault("dist_type", "parallel")
-                info.setdefault("symmetry", "planar")
-                info.setdefault("bc", "blocking")
-                info.setdefault("ct", False)
+    distributions = _normalize_distributions(distributions)
 
     build_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     dist_mats = {}
@@ -164,7 +229,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       scan_unroll: int = 1,
                       basis: str = "gaussian",
                       gamma_eval_tau=None,
-                      sampler: str = "nuts", chees_cfg=None,
+                      sampler: str = "nuts", chees_cfg=None, shmc_cfg=None,
                       warm_start: "BatchFitResult" = None) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
@@ -248,55 +313,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                               flat_tree=flat_tree,
                               tree_scan=tree_scan, scan_unroll=scan_unroll)
 
-        def summarize(dat, draws, info, phi_mon, phi_eval):
-            flat = draws.reshape(-1, draws.shape[-1])
-            xs = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["x_0"])(flat)
-            rinf = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["Rinf"])(flat)
-            induc = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))["induc"])(flat)
-            # split-Rhat of the per-chain log density: a cheap scalar
-            # convergence check per spectrum
-            lp = info["logp"]                             # (chains, samples)
-            half = lp.shape[1] // 2
-            lp_split = jnp.concatenate([lp[:, :half], lp[:, half:2 * half]])
-            cm = lp_split.mean(axis=1)
-            w_var = lp_split.var(axis=1, ddof=1).mean()
-            b_var = half * cm.var(ddof=1)
-            var_plus = (half - 1) / half * w_var + b_var / half
-            lp_rhat = jnp.sqrt(var_plus / jnp.maximum(w_var, 1e-12))
-            out = {
-                "coef": xs.mean(axis=0),
-                "coef_lo": jnp.percentile(xs, 2.5, axis=0),
-                "coef_hi": jnp.percentile(xs, 97.5, axis=0),
-                "r_inf": rinf.mean(),
-                "induc": induc.mean(),
-                "divergence_rate": info["diverging"].mean(),
-                "accept_prob": info["accept_prob"].mean(),
-                "n_leapfrog": info["n_leapfrog"].astype(jnp.float32).mean(),
-                "logp_rhat": lp_rhat,
-                # sampler state for chained refits (warm_start=): final
-                # positions, adapted metric, and adapted step size per chain
-                "state_q": draws[:, -1, :],
-                "state_inv_mass": info["inv_mass"],
-                "state_step_size": info["step_size"],
-            }
-            # bulk ESS of logp and of gamma at monitor points: the quality
-            # floor a throughput number is meaningless without (ESS/sec is
-            # the BASELINE headline metric). ESS is invariant to the Z
-            # scaling, so scaled-space gamma is fine here.
-            gmon = (xs @ phi_mon.T).reshape(chains, samples, -1)
-            mon = jnp.concatenate([lp[:, :, None], gmon], axis=-1)
-            ess_q = ess_jnp(mon)
-            out["ess_logp"] = ess_q[0]
-            out["min_ess"] = ess_q.min()
-            if phi_eval.shape[0] > 0:
-                ge = xs @ phi_eval.T
-                out["gamma_eval_mean"] = ge.mean(axis=0)
-                out["gamma_eval_lo"] = jnp.percentile(ge, 2.5, axis=0)
-                out["gamma_eval_hi"] = jnp.percentile(ge, 97.5, axis=0)
-            for i in range(1, n_dists):
-                xi = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))[f"x_{i}"])(flat)
-                out[f"coef_{i}"] = xi.mean(axis=0)
-            return out
+        summarize = _make_summarize(cfg, unravel, chains, samples, n_dists)
 
         def init_q0s(dat, target, k_init, n):
             p0s = jax.vmap(lambda k: init_unconstrained(
@@ -304,19 +321,33 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             return jax.vmap(lambda p: ravel_pytree(
                 jax.tree.map(lambda a: a.astype(dtype), p))[0])(p0s)
 
-        def chees_summary(dat, target, draws, info, phi_mon, phi_eval):
-            # ChEES adapts ONE metric/step-size/trajectory for all chains of
-            # a spectrum; broadcast to the per-chain layout warm_start and
-            # the shared summarize expect
+        def pooled_summary(dat, draws, info, phi_mon, phi_eval):
+            # chees/shmc adapt ONE metric for all chains of a spectrum;
+            # broadcast to the per-chain layout warm_start and the shared
+            # summarize expect
             info = dict(info)
             info["inv_mass"] = jnp.broadcast_to(
                 info["inv_mass"][None, :], (chains,) + info["inv_mass"].shape)
             info["step_size"] = jnp.broadcast_to(info["step_size"], (chains,))
             out = summarize(dat, draws, info, phi_mon, phi_eval)
-            out["state_traj_time"] = info["traj_time"]
+            if "traj_time" in info:
+                out["state_traj_time"] = info["traj_time"]
             return out
 
-        if sampler == "chees":
+        if sampler == "shmc":
+            sh_cfg = shmc_cfg if shmc_cfg is not None else SHMCConfig()
+
+            def fit_one(target, skey, dat, phi_mon, phi_eval):
+                logp = logp_for(dat, target)
+                k_init, k_run = jax.random.split(skey)
+                q0 = init_q0s(dat, target, k_init, chains)
+                draws, info = sample_shmc(logp, q0, k_run, warmup=warmup,
+                                          samples=samples, cfg=sh_cfg)
+                return pooled_summary(dat, draws, info, phi_mon, phi_eval)
+
+            prog_extra = ("shmc", sh_cfg, chains, warmup, samples,
+                          phi_mon_np.shape, phi_eval_np.shape)
+        elif sampler == "chees":
             ch_cfg = chees_cfg if chees_cfg is not None else ChEESConfig()
 
             def fit_one(target, skey, dat, phi_mon, phi_eval):
@@ -325,8 +356,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 q0 = init_q0s(dat, target, k_init, chains)
                 draws, info = sample_chees(logp, q0, k_run, warmup=warmup,
                                            samples=samples, cfg=ch_cfg)
-                return chees_summary(dat, target, draws, info,
-                                     phi_mon, phi_eval)
+                return pooled_summary(dat, draws, info, phi_mon, phi_eval)
 
             prog_extra = ("chees", ch_cfg, chains, warmup, samples,
                           phi_mon_np.shape, phi_eval_np.shape)
@@ -350,7 +380,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                           phi_mon_np.shape, phi_eval_np.shape)
         else:
             raise ValueError(f"Unknown sampler {sampler!r}; options are "
-                             "'nuts', 'chees'")
+                             "'nuts', 'chees', 'shmc'")
     else:
         def fit_one(target, skey, dat):
             logp = logp_for(dat, target)
@@ -422,7 +452,26 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         if wq.shape[1] != chains:
             raise ValueError(f"warm_start carries {wq.shape[1]} chains, "
                              f"this fit requests {chains}")
-        if sampler == "chees":
+        if sampler == "shmc":
+            warm_sh = (shmc_cfg if shmc_cfg is not None
+                       else SHMCConfig())._replace(adapt_mass=False)
+
+            def fit_one(target, skey, wq_, wm_, weps_, dat, phi_mon,
+                        phi_eval):   # noqa: F811
+                logp = logp_for(dat, target)
+                draws, info = sample_shmc(
+                    logp, wq_, skey, warmup=warmup, samples=samples,
+                    cfg=warm_sh, metric=wm_.mean(axis=0),
+                    init_step_size=weps_.mean())
+                return pooled_summary(dat, draws, info, phi_mon, phi_eval)
+
+            extra_args = (jnp.asarray(wq, dtype), jnp.asarray(wm, dtype),
+                          jnp.asarray(weps, dtype))
+            shared_args = (data, phi_mon_j, phi_eval_j)
+            fit_in_axes = (0, 0, 0, 0, 0, None, None, None)
+            prog_key = base_key + ("warm-shmc", warm_sh, chains, warmup,
+                                   samples)
+        elif sampler == "chees":
             # resume with the pooled (chains share one) metric/step size and
             # the adapted trajectory time, all held fixed
             warm_ch = (chees_cfg if chees_cfg is not None
@@ -442,8 +491,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                     logp, wq_, skey, warmup=warmup, samples=samples,
                     cfg=warm_ch, metric=wm_.mean(axis=0),
                     init_step_size=weps_.mean(), init_traj_time=wtt_)
-                return chees_summary(dat, target, draws, info,
-                                     phi_mon, phi_eval)
+                return pooled_summary(dat, draws, info, phi_mon, phi_eval)
 
             extra_args = (jnp.asarray(wq, dtype), jnp.asarray(wm, dtype),
                           jnp.asarray(weps, dtype), jnp.asarray(wtt, dtype))
@@ -472,12 +520,12 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             fit_in_axes = (0, 0, 0, 0, 0, None, None, None)
             prog_key = base_key + ("warm", warm_cfg, chains, warmup, samples)
     elif mode == "sample" and precondition == "pooled":
-        if sampler == "chees":
+        if sampler in ("chees", "shmc"):
             raise ValueError(
-                "precondition='pooled' builds a dense metric; sample_chees "
-                "supports diagonal metrics only (its chain-pooled Welford "
-                "adaptation replaces the pooled pilot). Use sampler='nuts' "
-                "or drop precondition.")
+                "precondition='pooled' builds a dense metric; "
+                "sample_chees/sample_shmc support diagonal metrics only "
+                "(their chain-pooled Welford adaptation replaces the pooled "
+                "pilot). Use sampler='nuts' or drop precondition.")
         # ---- stage 1: short diagonal-metric pilot over the whole batch ----
         def pilot_one(target, skey, dat):
             logp = logp_for(dat, target)
@@ -632,84 +680,174 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                        max_iter: int = 2000, n_restarts: int = 2,
                        random_seed: int = 0, mesh: Optional[Mesh] = None,
                        max_tree_depth: int = 10, dtype=None,
+                       distributions=None,
                        ncp: bool = False, unroll: int = 1,
-                      flat_tree: bool = False,
-                      tree_scan: bool = False,
-                      scan_unroll: int = 1) -> BatchFitResult:
+                       flat_tree: bool = False,
+                       tree_scan: bool = False,
+                       scan_unroll: int = 1,
+                       basis: str = "gaussian",
+                       gamma_eval_tau=None,
+                       sampler: str = "nuts", chees_cfg=None,
+                       warm_start: "BatchFitResult" = None) -> BatchFitResult:
     """Fit spectra with DIFFERENT frequency grids in one XLA program.
 
     ``spectra``: list of (frequencies, Z) pairs. Grids are padded to a
     common length and masked out of the likelihood; every spectrum gets its
-    own A matrix over a shared basis (the padded/bucketed heterogeneity
-    strategy from SURVEY.md section 7). ``basis_freq`` defaults to 10 ppd
-    spanning the union of all measured ranges plus one decade each side.
+    own A matrices over shared per-distribution bases (the padded/bucketed
+    heterogeneity strategy from SURVEY.md section 7). ``basis_freq``
+    defaults to 10 ppd spanning the union of all measured ranges plus one
+    decade each side.
+
+    Full parity with fit_spectra_batch: ``distributions`` mini-DSL (incl.
+    the calibrated Ystar scaling for a single parallel planar DDT),
+    ``sampler='chees'``, ``gamma_eval_tau`` pointwise credible bands,
+    per-spectrum min-ESS/logp-Rhat diagnostics, ``warm_start`` chained
+    refits, and physical mesh partitioning with a shard-layout proof.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    b = len(spectra)
+    b_real_in = len(spectra)
     freqs = [np.sort(np.asarray(f, float))[::-1] for f, _ in spectra]
     zs = [np.asarray(z)[np.argsort(np.asarray(f, float))[::-1]]
           for f, z in spectra]
+    # pad the BATCH like fit_spectra_batch (few compiled shapes) and the
+    # grids to a multiple of 16
+    b = max(8, 1 << (b_real_in - 1).bit_length())
+    if b > b_real_in:
+        freqs = freqs + [freqs[0]] * (b - b_real_in)
+        zs = zs + [zs[0]] * (b - b_real_in)
+    b_real = b_real_in
     lens = np.array([len(f) for f in freqs])
-    n_max = int(-(-lens.max() // 16) * 16)     # round up to multiple of 16
+    n_max = int(-(-lens.max() // 16) * 16)
 
+    dists_norm = _normalize_distributions(distributions)
+    names = sort_distributions(dists_norm)
+
+    f_hi = max(f.max() for f in freqs)
+    f_lo = min(f.min() for f in freqs)
     if basis_freq is None:
-        f_hi = max(f.max() for f in freqs)
-        f_lo = min(f.min() for f in freqs)
         tmin = np.log10(1 / (2 * np.pi * f_hi)) - 1
         tmax = np.log10(1 / (2 * np.pi * f_lo)) + 1
-        tau = np.logspace(tmin, tmax, int(10 * (tmax - tmin) + 1))
+        default_tau = np.logspace(tmin, tmax, int(10 * (tmax - tmin) + 1))
     else:
-        tau = 1.0 / (2 * np.pi * np.asarray(basis_freq, float))
-    eps = default_epsilon(tau) if epsilon is None else float(epsilon)
-    f_coll = 1.0 / (2 * np.pi * tau)
-    k = len(tau)
+        default_tau = 1.0 / (2 * np.pi * np.asarray(basis_freq, float))
 
     # pad grids (dummy = last real frequency, masked out of the likelihood)
     freq_pad = np.stack([np.concatenate([f, np.full(n_max - len(f), f[-1])])
                          for f in freqs])
     mask = np.stack([np.concatenate([np.ones(len(f)), np.zeros(n_max - len(f))])
                      for f in freqs])
-    z_scales = np.array([np.std(np.abs(z)) / np.sqrt(len(z) / 81) for z in zs])
-    z_pad = np.stack([np.concatenate([z / s, np.zeros(n_max - len(z))])
-                      for z, s in zip(zs, z_scales)])
+    # per-spectrum scale incl. the Ystar admittance-std branch
+    # (reference: inversion.py:2411-2443)
+    z_scales = np.array([float(z_scale_for(dists_norm, z, fit_type="map"))
+                         for z in zs])
+    z_pad = np.stack([np.concatenate([z / s_, np.zeros(n_max - len(z))])
+                      for z, s_ in zip(zs, z_scales)])
     targets = np.concatenate([z_pad.real, z_pad.imag], axis=1)
     masks2 = np.concatenate([mask, mask], axis=1)
 
     build_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A_stacks = []
+    dist_mats = {}
+    first_tau, first_eps, first_basis = None, None, basis
     with _cpu_context():
-        batched_A = jax.vmap(lambda f, part: construct_A(
-            f, part, tau=jnp.asarray(tau, build_dtype), epsilon=eps,
-            dtype=build_dtype), in_axes=(0, None))
         fp = jnp.asarray(freq_pad, build_dtype)
-        A_re = np.asarray(batched_A(fp, "real"))
-        A_im = np.asarray(batched_A(fp, "imag"))
-        mats = {f"L{o}": np.asarray(construct_L(f_coll, tau=tau, epsilon=eps,
-                                                order=o, dtype=build_dtype))
-                for o in (0, 1, 2)}
-    A_stacks = np.concatenate([A_re, A_im], axis=1)       # (B, 2N, K)
+        for nm in names:
+            info = dists_norm[nm]
+            bf = info.get("basis_freq", None)
+            tau_d = (default_tau if bf is None
+                     else 1.0 / (2 * np.pi * np.asarray(bf, float)))
+            eps_d = info.get("epsilon", epsilon)
+            eps_d = default_epsilon(tau_d) if eps_d is None else float(eps_d)
+            f_coll = 1.0 / (2 * np.pi * tau_d)
+            basis_d = info.get("basis", basis)
+            kw = dict(tau=jnp.asarray(tau_d, build_dtype), epsilon=eps_d,
+                      basis=basis_d, kernel=info.get("kernel", "DRT"),
+                      dist_type=info["dist_type"],
+                      symmetry=info.get("symmetry", "planar"),
+                      bc=info.get("bc", "transmissive"),
+                      ct=info.get("ct", False), k_ct=info.get("k_ct", None),
+                      dtype=build_dtype)
+            batched_A = jax.vmap(lambda f, part: construct_A(f, part, **kw),
+                                 in_axes=(0, None))
+            A_re_d = np.asarray(batched_A(fp, "real"))
+            A_im_d = np.asarray(batched_A(fp, "imag"))
+            A_stacks.append(np.concatenate([A_re_d, A_im_d], axis=1))
+            mats = {"A_re": A_re_d[0], "A_im": A_im_d[0]}
+            for o in (0, 1, 2):
+                mats[f"L{o}"] = np.asarray(construct_L(
+                    f_coll, tau=tau_d, epsilon=eps_d, order=o, basis=basis_d,
+                    dtype=build_dtype))
+            dist_mats[nm] = mats
+            if first_tau is None:
+                first_tau, first_eps, first_basis = tau_d, eps_d, basis_d
 
-    mats.update(A_re=A_re[0], A_im=A_im[0])
-    dists = {"DRT": {"kernel": "DRT", "dist_type": "series"}}
-    cfg, data0 = build_posterior(dists, {"DRT": mats}, freq_pad[0],
+    cfg, data0 = build_posterior(dists_norm, dist_mats, freq_pad[0],
                                  z_pad[0], mode="sample" if mode == "sample"
                                  else "optimize", nonneg=nonneg, dtype=dtype,
                                  ncp=ncp and mode == "sample")
+    n_dists = len(cfg.dists)
 
     template = jax.tree.map(lambda a: a.astype(dtype),
                             init_unconstrained(cfg, data0, jax.random.PRNGKey(0)))
     _, unravel = ravel_pytree(template)
     keys = jax.random.split(jax.random.PRNGKey(random_seed), b)
+    tau, eps = first_tau, first_eps
 
     if mode == "sample":
+        from ..ops.basis import get_basis_func
+        phi_fn = get_basis_func(first_basis)
+        k0 = len(tau)
+        mon_idx = np.unique(np.linspace(0, k0 - 1, 8).astype(int))
+        phi_mon_np = np.asarray(phi_fn(
+            np.log(tau[mon_idx][:, None] / tau[None, :]), eps))
+        if gamma_eval_tau is not None:
+            ge_tau = np.asarray(gamma_eval_tau, float)
+            phi_eval_np = np.asarray(phi_fn(
+                np.log(ge_tau[:, None] / tau[None, :]), eps))
+        else:
+            phi_eval_np = np.zeros((0, k0))
+        phi_mon_j = jnp.asarray(phi_mon_np, dtype)
+        phi_eval_j = jnp.asarray(phi_eval_np, dtype)
+
         nuts_cfg = NUTSConfig(max_depth=max_tree_depth, unroll=unroll,
                               flat_tree=flat_tree,
                               tree_scan=tree_scan, scan_unroll=scan_unroll)
+        ch_cfg = chees_cfg if chees_cfg is not None else ChEESConfig()
+        sh_cfg = shmc_cfg if shmc_cfg is not None else SHMCConfig()
+        if sampler not in ("nuts", "chees", "shmc"):
+            raise ValueError(f"Unknown sampler {sampler!r}; options are "
+                             "'nuts', 'chees', 'shmc'")
+        summarize = _make_summarize(cfg, unravel, chains, samples, n_dists)
 
-        def fit_one(A_stack, target, freq_row, mask_row, skey, dat):
-            d = dat._replace(A=(A_stack,), target=target, freq=freq_row,
-                             lik_mask=mask_row)
+        def init_q0s(d, k_init, n):
+            p0s = jax.vmap(lambda k: init_unconstrained(cfg, d, k))(
+                jax.random.split(k_init, n))
+            return jax.vmap(lambda p: ravel_pytree(
+                jax.tree.map(lambda a: a.astype(dtype), p))[0])(p0s)
+
+        def pooled_summary(d, draws, info, phi_mon, phi_eval):
+            info = dict(info)
+            info["inv_mass"] = jnp.broadcast_to(
+                info["inv_mass"][None, :], (chains,) + info["inv_mass"].shape)
+            info["step_size"] = jnp.broadcast_to(info["step_size"], (chains,))
+            out = summarize(d, draws, info, phi_mon, phi_eval)
+            if "traj_time" in info:
+                out["state_traj_time"] = info["traj_time"]
+            return out
+
+        def run_plain(d, skey, phi_mon, phi_eval):
             logp = lambda q: log_density(cfg, d, unravel(q), jacobian=True)
+            if sampler in ("chees", "shmc"):
+                k_init, k_run = jax.random.split(skey)
+                q0 = init_q0s(d, k_init, chains)
+                if sampler == "chees":
+                    draws, info = sample_chees(logp, q0, k_run, warmup=warmup,
+                                               samples=samples, cfg=ch_cfg)
+                else:
+                    draws, info = sample_shmc(logp, q0, k_run, warmup=warmup,
+                                              samples=samples, cfg=sh_cfg)
+                return pooled_summary(d, draws, info, phi_mon, phi_eval)
 
             def one_chain(ckey):
                 k1, k2 = jax.random.split(ckey)
@@ -719,19 +857,118 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                                    samples=samples, cfg=nuts_cfg)
 
             draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains))
-            flat = draws.reshape(-1, draws.shape[-1])
-            xs = jax.vmap(lambda q: constrain(cfg, d, unravel(q))["x_0"])(flat)
-            rinf = jax.vmap(lambda q: constrain(cfg, d, unravel(q))["Rinf"])(flat)
-            induc = jax.vmap(lambda q: constrain(cfg, d, unravel(q))["induc"])(flat)
-            return {"coef": xs.mean(axis=0),
-                    "coef_lo": jnp.percentile(xs, 2.5, axis=0),
-                    "coef_hi": jnp.percentile(xs, 97.5, axis=0),
-                    "r_inf": rinf.mean(), "induc": induc.mean(),
-                    "divergence_rate": info["diverging"].mean()}
-        prog_extra = (nuts_cfg, chains, warmup, samples)
+            return summarize(d, draws, info, phi_mon, phi_eval)
+
+        if warm_start is not None:
+            ws = warm_start.diagnostics
+            for k_ in ("state_q", "state_inv_mass", "state_step_size"):
+                if k_ not in ws:
+                    raise ValueError(
+                        "warm_start must be a sample-mode BatchFitResult "
+                        f"carrying sampler state (missing diagnostics[{k_!r}])")
+            if ws.get("state_cfg") is not None and ws["state_cfg"] != cfg:
+                raise ValueError(
+                    "warm_start was sampled under a different model "
+                    "configuration than this fit; resuming across "
+                    "parameterizations would mix coordinate systems")
+            b_prev = np.asarray(ws["state_q"]).shape[0]
+            if b_prev != b_real:
+                raise ValueError(
+                    f"warm_start holds sampler state for {b_prev} spectra "
+                    f"but this fit has {b_real}; chained refits must keep "
+                    "the batch layout across calls")
+            wq = _pad_rows(np.asarray(ws["state_q"]), b)
+            wm = _pad_rows(np.asarray(ws["state_inv_mass"]), b)
+            weps = _pad_rows(np.asarray(ws["state_step_size"]), b)
+            if wq.shape[1] != chains:
+                raise ValueError(f"warm_start carries {wq.shape[1]} chains, "
+                                 f"this fit requests {chains}")
+            if sampler == "shmc":
+                warm_sh = sh_cfg._replace(adapt_mass=False)
+
+                def fit_one(A_rows, target, freq_row, mask_row, skey,
+                            wq_, wm_, weps_, dat, phi_mon, phi_eval):
+                    d = dat._replace(A=A_rows, target=target, freq=freq_row,
+                                     lik_mask=mask_row)
+                    logp = lambda q: log_density(cfg, d, unravel(q),
+                                                 jacobian=True)
+                    draws, info = sample_shmc(
+                        logp, wq_, skey, warmup=warmup, samples=samples,
+                        cfg=warm_sh, metric=wm_.mean(axis=0),
+                        init_step_size=weps_.mean())
+                    return pooled_summary(d, draws, info, phi_mon, phi_eval)
+
+                extra = (jnp.asarray(wq, dtype), jnp.asarray(wm, dtype),
+                         jnp.asarray(weps, dtype))
+                prog_tag = ("warm-shmc", warm_sh)
+            elif sampler == "chees":
+                warm_ch = ch_cfg._replace(adapt_mass=False)
+                wtt = np.asarray(ws.get("state_traj_time",
+                                        np.full(b_prev, np.nan)))
+                if np.any(np.isnan(wtt)):
+                    raise ValueError(
+                        "warm_start for sampler='chees' needs "
+                        "diagnostics['state_traj_time']")
+                wtt = _pad_rows(wtt, b)
+
+                def fit_one(A_rows, target, freq_row, mask_row, skey,
+                            wq_, wm_, weps_, wtt_, dat, phi_mon, phi_eval):
+                    d = dat._replace(A=A_rows, target=target, freq=freq_row,
+                                     lik_mask=mask_row)
+                    logp = lambda q: log_density(cfg, d, unravel(q),
+                                                 jacobian=True)
+                    draws, info = sample_chees(
+                        logp, wq_, skey, warmup=warmup, samples=samples,
+                        cfg=warm_ch, metric=wm_.mean(axis=0),
+                        init_step_size=weps_.mean(), init_traj_time=wtt_)
+                    return pooled_summary(d, draws, info, phi_mon, phi_eval)
+
+                extra = (jnp.asarray(wq, dtype), jnp.asarray(wm, dtype),
+                         jnp.asarray(weps, dtype), jnp.asarray(wtt, dtype))
+                prog_tag = ("warm-chees", warm_ch)
+            else:
+                warm_cfg = nuts_cfg._replace(adapt_mass=False)
+
+                def fit_one(A_rows, target, freq_row, mask_row, skey,
+                            wq_, wm_, weps_, dat, phi_mon, phi_eval):
+                    d = dat._replace(A=A_rows, target=target, freq=freq_row,
+                                     lik_mask=mask_row)
+                    logp = lambda q: log_density(cfg, d, unravel(q),
+                                                 jacobian=True)
+
+                    def one_chain(ckey, q0, m_inv_c, eps_c):
+                        return sample_nuts(logp, q0, ckey, warmup=warmup,
+                                           samples=samples, cfg=warm_cfg,
+                                           metric=m_inv_c,
+                                           init_step_size=eps_c)
+
+                    draws, info = jax.vmap(one_chain)(
+                        jax.random.split(skey, chains), wq_, wm_, weps_)
+                    return summarize(d, draws, info, phi_mon, phi_eval)
+
+                extra = (jnp.asarray(wq, dtype), jnp.asarray(wm, dtype),
+                         jnp.asarray(weps, dtype))
+                prog_tag = ("warm", warm_cfg)
+        else:
+            def fit_one(A_rows, target, freq_row, mask_row, skey, dat,
+                        phi_mon, phi_eval):
+                d = dat._replace(A=A_rows, target=target, freq=freq_row,
+                                 lik_mask=mask_row)
+                return run_plain(d, skey, phi_mon, phi_eval)
+
+            extra = ()
+            prog_tag = ()
+
+        sampler_key = {"chees": ("chees", ch_cfg), "shmc": ("shmc", sh_cfg),
+                       "nuts": nuts_cfg}[sampler]
+        prog_extra = (sampler_key, chains, warmup, samples,
+                      phi_mon_np.shape, phi_eval_np.shape) + prog_tag
+        shared_args = (data0, phi_mon_j, phi_eval_j)
+        n_extra = len(extra)
+        fit_in_axes = (0, 0, 0, 0, 0) + (0,) * n_extra + (None, None, None)
     else:
-        def fit_one(A_stack, target, freq_row, mask_row, skey, dat):
-            d = dat._replace(A=(A_stack,), target=target, freq=freq_row,
+        def fit_one(A_rows, target, freq_row, mask_row, skey, dat):
+            d = dat._replace(A=A_rows, target=target, freq=freq_row,
                              lik_mask=mask_row)
             loss = lambda q: -log_density(cfg, d, unravel(q), jacobian=False)
 
@@ -744,50 +981,130 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
             best = jnp.argmin(jnp.where(jnp.isfinite(res.value), res.value,
                                         jnp.inf))
             c = constrain(cfg, d, unravel(res.params[best]))
-            return {"coef": c["x_0"], "coef_lo": c["x_0"], "coef_hi": c["x_0"],
-                    "r_inf": c["Rinf"], "induc": c["induc"],
-                    "value": res.value[best]}
+            out = {"coef": c["x_0"], "coef_lo": c["x_0"], "coef_hi": c["x_0"],
+                   "r_inf": c["Rinf"], "induc": c["induc"],
+                   "value": res.value[best]}
+            for i in range(1, n_dists):
+                out[f"coef_{i}"] = c[f"x_{i}"]
+            return out
 
-    if mode != "sample":
+        extra = ()
         prog_extra = (n_restarts, max_iter)
-    args = (jnp.asarray(A_stacks, dtype), jnp.asarray(targets, dtype),
-            jnp.asarray(freq_pad, dtype), jnp.asarray(masks2, dtype), keys)
+        shared_args = (data0,)
+        fit_in_axes = (0, 0, 0, 0, 0, None)
+
+    A_tuple = tuple(jnp.asarray(a, dtype) for a in A_stacks)
+    args = (A_tuple, jnp.asarray(targets, dtype),
+            jnp.asarray(freq_pad, dtype), jnp.asarray(masks2, dtype),
+            keys) + extra
     prog_key = ("fit_spectra_ragged", mode, cfg, data_shapes(data0),
-                prog_extra, mesh)
+                data_shapes(args), prog_extra, mesh)
 
     def build_fit():
-        fn = jax.vmap(fit_one, in_axes=(0, 0, 0, 0, 0, None))
+        fn = jax.vmap(fit_one, in_axes=fit_in_axes)
         if mesh is not None:
             return jax.jit(fn, out_shardings=NamedSharding(mesh, P("spectra")))
         return jax.jit(fn)
 
     if mesh is not None:
-        args = tuple(jax.device_put(a, NamedSharding(
-            mesh, P(*(["spectra"] + [None] * (a.ndim - 1))))) for a in args)
+        args = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(
+                mesh, P(*(["spectra"] + [None] * (a.ndim - 1))))), args)
     batched = _cached_program(prog_key, build_fit)
-    out = {kk: np.asarray(v) for kk, v in batched(*args, data0).items()}
+    out = batched(*args, *shared_args)
+    shard_layout = None
+    if mesh is not None:
+        shard_layout = tuple(sorted(
+            (sd.device.id, sd.index[0].start or 0, sd.index[0].stop or b)
+            for sd in out["coef"].addressable_shards))
+    out = {kk: np.asarray(v)[:b_real] for kk, v in out.items()}
+    z_scales = z_scales[:b_real]
 
-    scale = z_scales[:, None]
+    def rescale(i):
+        if cfg.dists[i].dist_type == "parallel":
+            return 1.0 / z_scales[:, None]
+        return z_scales[:, None]
+
+    scale0 = rescale(0)
     diagnostics = {kk: out[kk] for kk in out
-                   if kk not in ("coef", "coef_lo", "coef_hi", "r_inf", "induc")}
+                   if kk not in ("coef", "coef_lo", "coef_hi", "r_inf",
+                                 "induc")}
+    if mode == "sample":
+        diagnostics["state_cfg"] = cfg
+    if shard_layout is not None:
+        diagnostics["shard_layout"] = shard_layout
+    for i in range(1, n_dists):
+        if f"coef_{i}" in diagnostics:
+            diagnostics[f"coef_{i}"] = diagnostics[f"coef_{i}"] * rescale(i)
+    for k_ge in ("gamma_eval_mean", "gamma_eval_lo", "gamma_eval_hi"):
+        if k_ge in diagnostics:
+            diagnostics[k_ge] = diagnostics[k_ge] * scale0
     return BatchFitResult(
-        coef=out["coef"] * scale, r_inf=out["r_inf"] * z_scales,
+        coef=out["coef"] * scale0, r_inf=out["r_inf"] * z_scales,
         inductance=out["induc"] * z_scales,
-        gamma_lo=out["coef_lo"] * scale if mode == "sample" else None,
-        gamma_hi=out["coef_hi"] * scale if mode == "sample" else None,
-        z_scales=z_scales, tau=tau, epsilon=eps, diagnostics=diagnostics)
+        gamma_lo=out["coef_lo"] * scale0 if mode == "sample" else None,
+        gamma_hi=out["coef_hi"] * scale0 if mode == "sample" else None,
+        z_scales=z_scales, tau=tau, epsilon=eps, diagnostics=diagnostics,
+        basis=first_basis)
+
+
+def _format_weights_batch(Z, weights):
+    """Batched version of Inverter._format_weights: (B, N) complex spectra ->
+    (w_re, w_im) rows, supporting the full reference weights vocabulary
+    (unity/modulus/Orazem/proportional/prop_adj, scalars, shared or
+    per-spectrum arrays; reference: inversion.py weight formatting)."""
+    Z = np.asarray(Z)
+    b, n = Z.shape
+    if weights is None or (isinstance(weights, str) and weights == "unity"):
+        w = np.ones((b, n)) * (1 + 1j)
+    elif isinstance(weights, str):
+        if weights == "modulus":
+            w = (1 + 1j) / np.abs(Z)
+        elif weights == "Orazem":
+            w = (1 + 1j) / (np.abs(Z.real) + np.abs(Z.imag))
+        elif weights == "proportional":
+            w = 1 / np.abs(Z.real) + 1j / np.abs(Z.imag)
+        elif weights == "prop_adj":
+            zmod2 = np.real(Z * Z.conjugate())
+            q25 = np.percentile(zmod2, 25, axis=1, keepdims=True)
+            w = 1 / (np.abs(Z.real) + q25) + 1j / (np.abs(Z.imag) + q25)
+        else:
+            raise ValueError(
+                f"Invalid weights argument {weights!r}. String options are "
+                "'unity', 'modulus', 'Orazem', 'proportional', and 'prop_adj'")
+    elif isinstance(weights, complex):
+        w = np.full((b, n), weights)
+    elif isinstance(weights, (int, float)):
+        w = np.full((b, n), weights * (1 + 1j))
+    else:
+        w = np.asarray(weights)
+        if w.ndim == 1:
+            w = np.broadcast_to(w[None, :], (b, n))
+        if w.shape != (b, n):
+            raise ValueError(f"Weights array shape {w.shape} must be (N,) or "
+                             f"(B, N) = {(b, n)}")
+        if np.isrealobj(w):
+            w = w * (1 + 1j)
+    return np.ascontiguousarray(w.real), np.ascontiguousarray(w.imag)
 
 
 def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
                             epsilon=None, penalty: str = "integral",
+                            hyper_lambda: bool = True,
                             hl_beta: float = 2.5, lambda_0: float = 1e-2,
                             reg_ord=2, nonneg: bool = True,
                             weights: str = "modulus", max_iter: int = 20,
                             xtol: float = 1e-3, mesh: Optional[Mesh] = None,
+                            basis: str = "gaussian",
                             dtype=None) -> BatchFitResult:
-    """Batched hyper-lambda ridge DRT fits: B spectra in one vmapped XLA
-    program (~milliseconds per spectrum vs the reference's ~0.1 s serial
-    cvxopt solves). Shares one frequency/basis grid across the batch."""
+    """Batched (hyper-lambda or ordinary) ridge DRT fits: B spectra in one
+    vmapped XLA program (vs the reference's ~0.1 s serial cvxopt solves,
+    inversion.py:1043-1067). Shares one frequency/basis grid across the
+    batch; first-class like fit_spectra_batch: the design matrices ride as
+    jit ARGUMENTS through a cached program (zero re-tracing across calls
+    with the same shapes), the full reference weights vocabulary is
+    supported, and under a ``mesh`` the batch is physically partitioned
+    (out_shardings + diagnostics['shard_layout'] proof)."""
     Z_batch = np.asarray(Z_batch)
     Z_batch, b_real = _pad_pow2(Z_batch)
     b, n = Z_batch.shape
@@ -803,27 +1120,23 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     kb = len(tau)
     k = kb + 2
 
-    try:
-        build_device = jax.devices("cpu")[0]
-    except RuntimeError:
-        build_device = None
-    import contextlib
-    ctx = (jax.default_device(build_device) if build_device is not None
-           else contextlib.nullcontext())
-    with ctx:
+    with _cpu_context():
         A_re = np.zeros((n, k))
         A_re[:, 0] = 1.0
         A_re[:, 2:] = np.asarray(construct_A(frequencies, "real", tau=tau,
+                                             basis=basis,
                                              epsilon=eps, dtype=dtype))
         A_im = np.zeros((n, k))
         A_im[:, 1] = 2 * np.pi * frequencies * 1e-4
         A_im[:, 2:] = np.asarray(construct_A(frequencies, "imag", tau=tau,
+                                             basis=basis,
                                              epsilon=eps, dtype=dtype))
         L2_base, L_ops = [], []
         for order in (0, 1, 2):
             if penalty == "integral":
                 M = np.zeros((k, k))
                 M[2:, 2:] = np.asarray(construct_M(f_coll, order=order,
+                                                   basis=basis,
                                                    epsilon=eps, dtype=dtype))
                 L2_base.append(M)
                 L_ops.append(np.zeros((kb, k)))
@@ -831,6 +1144,7 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
                 L = np.concatenate(
                     [np.zeros((kb, 2)),
                      np.asarray(construct_L(f_coll, tau=tau, epsilon=eps,
+                                            basis=basis,
                                             order=order, dtype=dtype))], axis=1)
                 L_ops.append(L)
                 L2_base.append(L.T @ L)
@@ -843,13 +1157,7 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
 
     z_scales = np.std(np.abs(Z_batch), axis=1) / np.sqrt(n / 81)
     Zs = Z_batch / z_scales[:, None]
-    if weights == "modulus":
-        w = 1.0 / np.abs(Zs)
-    elif weights in (None, "unity"):
-        w = np.ones(Zs.shape, dtype=float)
-    else:
-        raise ValueError(f"Invalid weights {weights!r} for the batched ridge; "
-                         "options are 'modulus', 'unity'/None")
+    w_re, w_im = _format_weights_batch(Zs, weights)
 
     lb = np.zeros(k) if nonneg else np.concatenate([np.zeros(2),
                                                     np.full(kb, -10.0)])
@@ -857,38 +1165,59 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     cfg = HyperLambdaConfig(part="both", penalty=penalty, n_fixed=2,
                             max_iter=max_iter)
 
-    A_re_j = jnp.asarray(A_re, dtype)
-    A_im_j = jnp.asarray(A_im, dtype)
-    shared = dict(L2_base=jnp.asarray(np.array(L2_base), dtype),
-                  L_ops=jnp.asarray(np.array(L_ops), dtype),
-                  L1_vec=jnp.zeros(k, dtype), reg_frac=jnp.asarray(frac, dtype),
-                  lb=jnp.asarray(lb, dtype), ub=jnp.asarray(ub, dtype))
-
-    def fit_one(t_re, t_im, w_row):
-        data = RidgeData(WA_re=w_row[:, None] * A_re_j,
-                         WA_im=w_row[:, None] * A_im_j,
-                         WT_re=w_row * t_re, WT_im=w_row * t_im, **shared)
-        res = run_hyper_lambda(cfg, data, jnp.full(k, 1e-6, dtype),
-                               jnp.full(3, hl_beta, dtype), lambda_0,
-                               xtol=xtol)
+    def fit_one(t_re, t_im, wr, wi, A_re_j, A_im_j, L2_base_j, L_ops_j,
+                L1_vec, frac_j, lb_j, ub_j):
+        data = RidgeData(WA_re=wr[:, None] * A_re_j,
+                         WA_im=wi[:, None] * A_im_j,
+                         WT_re=wr * t_re, WT_im=wi * t_im,
+                         L2_base=L2_base_j, L_ops=L_ops_j, L1_vec=L1_vec,
+                         reg_frac=frac_j, lb=lb_j, ub=ub_j)
+        if hyper_lambda:
+            res = run_hyper_lambda(cfg, data, jnp.full(k, 1e-6, dtype),
+                                   jnp.full(3, hl_beta, dtype), lambda_0,
+                                   xtol=xtol)
+        else:
+            res = run_ordinary_ridge("both", data, lambda_0)
         return res.coef, res.n_iter, res.converged
 
-    t_re = jnp.asarray(Zs.real, dtype)
-    t_im = jnp.asarray(Zs.imag, dtype)
-    w_j = jnp.asarray(w, dtype)
-    batched = jax.jit(jax.vmap(fit_one))
+    mapped = tuple(jnp.asarray(a, dtype)
+                   for a in (Zs.real, Zs.imag, w_re, w_im))
+    shared = tuple(jnp.asarray(a, dtype)
+                   for a in (A_re, A_im, np.array(L2_base), np.array(L_ops),
+                             np.zeros(k), frac, lb, ub))
+    prog_key = ("ridge_fit_spectra_batch", cfg, bool(hyper_lambda),
+                float(hl_beta), float(lambda_0), float(xtol), b,
+                data_shapes(mapped + shared), str(np.dtype(np.float64
+                if dtype == jnp.float64 else np.float32)), mesh)
+
+    def build_fit():
+        fn = precise_matmuls(
+            jax.vmap(fit_one, in_axes=(0, 0, 0, 0) + (None,) * 8))
+        if mesh is not None:
+            return jax.jit(fn, out_shardings=NamedSharding(mesh, P("spectra")))
+        return jax.jit(fn)
+
     if mesh is not None:
         sh = NamedSharding(mesh, P("spectra", None))
-        t_re, t_im, w_j = (jax.device_put(a, sh) for a in (t_re, t_im, w_j))
-    coefs, n_iter, converged = jax.tree.map(np.asarray, batched(t_re, t_im, w_j))
-    coefs, n_iter, converged = coefs[:b_real], n_iter[:b_real], converged[:b_real]
+        mapped = tuple(jax.device_put(a, sh) for a in mapped)
+    batched = _cached_program(prog_key, build_fit)
+    out = batched(*mapped, *shared)
+    shard_layout = None
+    if mesh is not None:
+        shard_layout = tuple(sorted(
+            (sd.device.id, sd.index[0].start or 0, sd.index[0].stop or b)
+            for sd in out[0].addressable_shards))
+    coefs, n_iter, converged = (np.asarray(a)[:b_real] for a in out)
     z_scales = z_scales[:b_real]
 
     coefs = coefs * z_scales[:, None]
+    diagnostics = {"n_iter": n_iter, "converged": converged}
+    if shard_layout is not None:
+        diagnostics["shard_layout"] = shard_layout
     return BatchFitResult(
         coef=coefs[:, 2:], r_inf=coefs[:, 0], inductance=coefs[:, 1] * 1e-4,
         gamma_lo=None, gamma_hi=None, z_scales=z_scales, tau=tau, epsilon=eps,
-        diagnostics={"n_iter": n_iter, "converged": converged})
+        diagnostics=diagnostics, basis=basis)
 
 
 def evaluate_gamma(result: BatchFitResult, eval_tau, which: str = "coef"):

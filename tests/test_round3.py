@@ -1,0 +1,309 @@
+"""Round-3 additions: adaptive samplers (ChEES / synchronous static
+multinomial HMC), in-program ESS, pointwise gamma credible bands, the
+promoted first-class batched ridge, and ragged-path parity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bayes_drt_tpu import progcache
+from bayes_drt_tpu.infer.chees import (ChEESConfig, SHMCConfig, sample_chees,
+                                       sample_shmc)
+from bayes_drt_tpu.infer.diagnostics import ess, ess_jnp
+from bayes_drt_tpu.parallel import (evaluate_gamma, fit_spectra_batch,
+                                    fit_spectra_ragged, make_mesh,
+                                    ridge_fit_spectra_batch)
+
+
+def load_batch(b=4, noise=0.002, seed=0):
+    df = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    rng = np.random.default_rng(seed)
+    Zb = Z[None, :] + noise * (rng.standard_normal((b, len(Z)))
+                               + 1j * rng.standard_normal((b, len(Z))))
+    return freq, Zb
+
+
+def _gaussian_target(d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(d, d))
+    cov = a @ a.T / d + np.eye(d) * 0.1
+    prec = jnp.asarray(np.linalg.inv(cov))
+    return cov, (lambda q: -0.5 * q @ prec @ q)
+
+
+# ---------------------------------------------------------------- samplers
+
+def test_ess_jnp_matches_numpy_estimator():
+    rng = np.random.default_rng(0)
+    x = np.zeros((4, 300, 3))
+    e = rng.normal(size=(4, 301, 3))
+    for t in range(300):
+        x[:, t] = (0.7 * x[:, t - 1] if t else e[:, 0]) + e[:, t + 1]
+    a = ess(x)
+    b = np.asarray(jax.jit(ess_jnp)(jnp.asarray(x)))
+    np.testing.assert_allclose(a, b, rtol=1e-10)
+    # vmaps over a batch axis
+    vb = jax.vmap(ess_jnp)(jnp.asarray(np.stack([x, x])))
+    np.testing.assert_allclose(np.asarray(vb[0]), a, rtol=1e-10)
+
+
+def test_chees_samples_correlated_gaussian():
+    cov, logp = _gaussian_target()
+    d = cov.shape[0]
+    key = jax.random.PRNGKey(0)
+    q0 = jax.random.normal(key, (4, d))
+    draws, info = sample_chees(logp, q0, key, warmup=400, samples=400,
+                               cfg=ChEESConfig())
+    flat = np.asarray(draws).reshape(-1, d)
+    assert np.abs(flat.mean(axis=0)).max() < 0.25
+    emp = np.cov(flat.T)
+    assert np.max(np.abs(emp - cov) / (np.abs(cov) + 0.2)) < 0.5
+    assert float(np.mean(info["diverging"])) < 0.01
+    # trajectory adaptation engaged and the state is finite
+    assert np.isfinite(float(info["traj_time"]))
+    assert float(ess(np.asarray(draws)).min()) > 100
+
+
+def test_shmc_samples_correlated_gaussian():
+    cov, logp = _gaussian_target()
+    d = cov.shape[0]
+    key = jax.random.PRNGKey(1)
+    q0 = jax.random.normal(key, (4, d))
+    draws, info = sample_shmc(logp, q0, key, warmup=400, samples=400,
+                              cfg=SHMCConfig(n_steps=16))
+    flat = np.asarray(draws).reshape(-1, d)
+    assert np.abs(flat.mean(axis=0)).max() < 0.25
+    emp = np.cov(flat.T)
+    assert np.max(np.abs(emp - cov) / (np.abs(cov) + 0.2)) < 0.5
+    assert float(np.mean(info["diverging"])) < 0.01
+    # every draw of every chain runs exactly n_steps leapfrogs (the
+    # batch-synchronous property the design is built on)
+    assert np.all(np.asarray(info["n_leapfrog"]) == 16)
+    assert float(ess(np.asarray(draws)).min()) > 100
+
+
+@pytest.mark.parametrize("sampler", ["chees", "shmc"])
+def test_adaptive_sampler_batch_smoke(sampler):
+    freq, Zb = load_batch(b=2)
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    res = fit_spectra_batch(freq, Zb, mode="sample", chains=2, warmup=60,
+                            samples=60, ncp=True, sampler=sampler,
+                            random_seed=0, gamma_eval_tau=gt["tau"].values)
+    d = res.diagnostics
+    assert np.isfinite(res.coef).all()
+    for k in ("min_ess", "ess_logp", "gamma_eval_mean", "gamma_eval_lo",
+              "gamma_eval_hi", "state_q", "state_inv_mass",
+              "state_step_size"):
+        assert k in d, k
+    assert (d["gamma_eval_lo"] <= d["gamma_eval_hi"] + 1e-12).all()
+    assert (d["min_ess"] > 0).all()
+    if sampler == "chees":
+        assert "state_traj_time" in d
+
+
+def test_shmc_warm_start_refit():
+    freq, Zb = load_batch(b=2)
+    res0 = fit_spectra_batch(freq, Zb, mode="sample", chains=2, warmup=60,
+                             samples=60, ncp=True, sampler="shmc",
+                             random_seed=0)
+    res1 = fit_spectra_batch(freq, Zb, mode="sample", chains=2, warmup=10,
+                             samples=60, ncp=True, sampler="shmc",
+                             random_seed=1, warm_start=res0)
+    assert np.isfinite(res1.coef).all()
+    # warm refit keeps recovery in the same ballpark as the source fit
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g0 = evaluate_gamma(res0, gt["tau"].values)
+    g1 = evaluate_gamma(res1, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    r0 = np.sqrt(np.mean((g0.mean(0) - gt["gamma"].values) ** 2))
+    r1 = np.sqrt(np.mean((g1.mean(0) - gt["gamma"].values) ** 2))
+    assert r1 < max(2.0 * r0, 0.08 * rp), (r0, r1)
+
+
+def test_warm_start_batch_size_mismatch_raises():
+    freq, Zb = load_batch(b=2)
+    res0 = fit_spectra_batch(freq, Zb, mode="sample", chains=2, warmup=30,
+                             samples=20, ncp=True, tree_scan=True,
+                             random_seed=0)
+    freq3, Zb3 = load_batch(b=3)
+    with pytest.raises(ValueError, match="batch layout"):
+        fit_spectra_batch(freq3, Zb3, mode="sample", chains=2, warmup=10,
+                          samples=10, ncp=True, tree_scan=True,
+                          warm_start=res0)
+
+
+def test_da_init_seeds_eps_bar():
+    """warmup=0 resumes must sample at the carried step size, not eps=1
+    (advisor round-2 finding)."""
+    from bayes_drt_tpu.infer.nuts import _da_init
+    da = _da_init(jnp.asarray(0.37), jnp.float64)
+    np.testing.assert_allclose(float(jnp.exp(da.log_eps_bar)), 0.37,
+                               rtol=1e-12)
+
+
+def test_gamma_eval_bands_contain_mean_and_rescale():
+    freq, Zb = load_batch(b=2)
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    res = fit_spectra_batch(freq, Zb, mode="sample", chains=2, warmup=60,
+                            samples=80, ncp=True, tree_scan=True,
+                            max_tree_depth=5, random_seed=0,
+                            gamma_eval_tau=gt["tau"].values)
+    d = res.diagnostics
+    lo, mid, hi = (d["gamma_eval_lo"], d["gamma_eval_mean"],
+                   d["gamma_eval_hi"])
+    assert (lo <= mid + 1e-9).all() and (mid <= hi + 1e-9).all()
+    # rescaled to physical units: the posterior-mean band center must agree
+    # with the rescaled coefficient curve
+    g = evaluate_gamma(res, gt["tau"].values)
+    np.testing.assert_allclose(mid, g, rtol=0.3, atol=0.05)
+    # pointwise bands are tighter than (or equal to) the conservative
+    # per-coefficient bands pushed through the all-positive basis
+    glo_cons = evaluate_gamma(res, gt["tau"].values, which="lo")
+    ghi_cons = evaluate_gamma(res, gt["tau"].values, which="hi")
+    assert (hi - lo <= (ghi_cons - glo_cons) + 1e-6).all()
+
+
+# ------------------------------------------------------------ batched ridge
+
+def test_ridge_batch_weights_vocabulary():
+    freq, Zb = load_batch(b=3)
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    for w in ("unity", "modulus", "Orazem", "proportional", "prop_adj",
+              None, 2.0):
+        res = ridge_fit_spectra_batch(freq, Zb, weights=w)
+        g = evaluate_gamma(res, gt["tau"].values)
+        rmse = np.sqrt(np.mean((g - gt["gamma"].values[None, :]) ** 2,
+                               axis=1))
+        assert (rmse < 0.10 * rp).all(), (w, rmse)
+    with pytest.raises(ValueError, match="Invalid weights"):
+        ridge_fit_spectra_batch(freq, Zb, weights="bogus")
+
+
+def test_ridge_batch_ordinary_mode():
+    freq, Zb = load_batch(b=3)
+    res = ridge_fit_spectra_batch(freq, Zb, hyper_lambda=False, lambda_0=0.1,
+                                  penalty="discrete")
+    assert np.isfinite(res.coef).all()
+    assert (res.diagnostics["n_iter"] == 1).all()
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g = evaluate_gamma(res, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse = np.sqrt(np.mean((g - gt["gamma"].values[None, :]) ** 2, axis=1))
+    assert (rmse < 0.2 * rp).all(), rmse
+
+
+def test_ridge_batch_program_cached_across_calls():
+    """Second call with identical shapes must reuse the cached program —
+    the round-2 'NEVER close a fresh jit over big arrays per call' rule."""
+    freq, Zb = load_batch(b=3, seed=1)
+    n0 = len(progcache._PROGRAM_CACHE)
+    ridge_fit_spectra_batch(freq, Zb)
+    n1 = len(progcache._PROGRAM_CACHE)
+    freq2, Zb2 = load_batch(b=3, seed=2)   # same shapes, different values
+    ridge_fit_spectra_batch(freq2, Zb2)
+    n2 = len(progcache._PROGRAM_CACHE)
+    assert n1 == n0 + 1
+    assert n2 == n1
+
+
+def test_ridge_batch_actually_partitions():
+    freq, Zb = load_batch(b=8)
+    mesh = make_mesh(8)
+    res = ridge_fit_spectra_batch(freq, Zb, mesh=mesh)
+    layout = res.diagnostics["shard_layout"]
+    device_ids = [d for d, _, _ in layout]
+    assert len(set(device_ids)) == 8, layout
+    ranges = sorted((lo, hi) for _, lo, hi in layout)
+    assert ranges == [(i, i + 1) for i in range(8)], layout
+    # and matches the unsharded result
+    res_u = ridge_fit_spectra_batch(freq, Zb)
+    np.testing.assert_allclose(res.coef, res_u.coef, rtol=1e-5, atol=1e-7)
+
+
+# ------------------------------------------------------------- ragged parity
+
+def _ragged_spectra(b=2, noise=0.002, seed=0):
+    d1 = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
+    d2 = pd.read_csv("/root/reference/data/simulated/Z_trunc_noiseless.csv")
+    return [
+        (d1["Freq"].values, d1["Zreal"].values + 1j * d1["Zimag"].values),
+        (d2["Freq"].values, d2["Zreal"].values + 1j * d2["Zimag"].values),
+    ]
+
+
+def test_ragged_full_diagnostics_and_bands():
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    res = fit_spectra_ragged(_ragged_spectra(), mode="sample", chains=2,
+                             warmup=50, samples=50, max_tree_depth=6,
+                             random_seed=0, ncp=True, tree_scan=True,
+                             gamma_eval_tau=gt["tau"].values)
+    d = res.diagnostics
+    for k in ("min_ess", "ess_logp", "logp_rhat", "state_q",
+              "state_inv_mass", "state_step_size", "gamma_eval_mean",
+              "gamma_eval_lo", "gamma_eval_hi"):
+        assert k in d, k
+    assert d["min_ess"].shape == (2,)
+    assert (d["gamma_eval_lo"] <= d["gamma_eval_hi"] + 1e-12).all()
+
+
+def test_ragged_warm_start_refit():
+    res0 = fit_spectra_ragged(_ragged_spectra(), mode="sample", chains=2,
+                              warmup=60, samples=50, max_tree_depth=6,
+                              random_seed=0, ncp=True, tree_scan=True)
+    res1 = fit_spectra_ragged(_ragged_spectra(), mode="sample", chains=2,
+                              warmup=10, samples=50, max_tree_depth=6,
+                              random_seed=1, ncp=True, tree_scan=True,
+                              warm_start=res0)
+    assert np.isfinite(res1.coef).all()
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g1 = evaluate_gamma(res1, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse0 = np.sqrt(np.mean((g1[0] - gt["gamma"].values) ** 2))
+    assert rmse0 < 0.15 * rp, rmse0
+
+
+def test_ragged_partitions_across_mesh():
+    spectra = _ragged_spectra() * 4      # 8 spectra, two grid lengths
+    mesh = make_mesh(8)
+    res = fit_spectra_ragged(spectra, mode="optimize", n_restarts=1,
+                             max_iter=300, random_seed=0, mesh=mesh)
+    layout = res.diagnostics["shard_layout"]
+    assert len({d for d, _, _ in layout}) == 8, layout
+    ranges = sorted((lo, hi) for _, lo, hi in layout)
+    assert ranges == [(i, i + 1) for i in range(8)], layout
+
+
+def test_ragged_ddt_ystar_scaling_parity():
+    """Ragged fits use the same calibrated Ystar z-scale rule as the
+    uniform-grid batch for a single parallel planar DDT
+    (reference: inversion.py:2422-2434)."""
+    from bayes_drt_tpu.models.build import z_scale_for
+    df = pd.read_csv(
+        "/root/reference/data/simulated/Z_BimodalTP-DDT_Macdonald_0.25.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    dists = {"DDT": {"kernel": "DDT", "dist_type": "parallel",
+                     "symmetry": "planar", "bc": "transmissive"}}
+    res = fit_spectra_ragged([(freq, Z)], mode="optimize", n_restarts=1,
+                             max_iter=200, random_seed=0,
+                             distributions=dists)
+    idx = np.argsort(freq)[::-1]
+    expected = float(z_scale_for(
+        {"DDT": dict(dists["DDT"])}, Z[idx], fit_type="map"))
+    np.testing.assert_allclose(res.z_scales[0], expected, rtol=1e-10)
+    # and the under-specified dict defaults to bc='blocking' like the
+    # Inverter DSL (advisor round-2 finding)
+    res2 = fit_spectra_ragged([(freq, Z)], mode="optimize", n_restarts=1,
+                              max_iter=200, random_seed=0,
+                              distributions={"DDT": {"kernel": "DDT"}})
+    expected2 = float(z_scale_for(
+        {"DDT": {"kernel": "DDT", "dist_type": "parallel",
+                 "symmetry": "planar", "bc": "blocking"}},
+        Z[idx], fit_type="map"))
+    np.testing.assert_allclose(res2.z_scales[0], expected2, rtol=1e-10)
