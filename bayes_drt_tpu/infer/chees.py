@@ -386,6 +386,11 @@ class SHMCConfig(NamedTuple):
     tree IS fixed-length multinomial HMC, minus ~70% per-leaf bookkeeping).
     """
     n_steps: int = 32
+    warm_steps: int = 0           # leapfrogs per WARMUP draw (0 = n_steps).
+                                  # Warmup draws are discarded — adaptation
+                                  # needs draw count, not reach — so shorter
+                                  # warmup trajectories buy throughput at no
+                                  # sampling-quality cost
     delta: float = 0.9            # adapt_delta (reference control)
     t0: float = 10.0
     gamma: float = 0.05
@@ -431,7 +436,8 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
     n_chains, dim = q0.shape
     dtype = q0.dtype
     total = warmup + samples
-    n_leap = cfg.n_steps
+    n_leap_s = cfg.n_steps
+    n_leap_w = cfg.warm_steps or cfg.n_steps
     max_e = cfg.max_energy_error
 
     logp0, grad0 = value_and_grad(q0)
@@ -459,7 +465,9 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
     h1 = _halton2(total)
     h2 = _halton2(2 * total)[total:]
     jit_mult = jnp.asarray(cfg.jitter_lo + (1.0 - cfg.jitter_lo) * h1, dtype)
-    j_split = jnp.asarray(np.floor(h2 * (n_leap + 1)).clip(0, n_leap)
+    nl_sched = np.concatenate([np.full(warmup, n_leap_w),
+                               np.full(samples, n_leap_s)])
+    j_split = jnp.asarray(np.floor(h2 * (nl_sched + 1)).clip(0, nl_sched)
                           .astype(np.int32))
 
     da0 = jax.vmap(lambda e: _da_init(e, dtype))(eps0)
@@ -470,7 +478,8 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
         wf0 = (jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
                jnp.zeros((), dtype))
 
-    def step(carry, xs):
+    def make_step(n_leap):
+      def step(carry, xs):
         q, logp, grad, da, wf, m_inv, key = carry
         is_warm, slow, wend, h, j = xs
         key, k_mom, k_sel = jax.random.split(key, 3)
@@ -486,7 +495,8 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
         kin0 = 0.5 * jnp.sum(p0 * p0 * m_inv[None, :], axis=1)
         H0 = -logp + kin0
 
-        def leaf(st, i):
+        def leaf(st, xs_leaf):
+            i, u = xs_leaf
             (qq, pp, gg, lp, logw, pq, plp, pgrad, pkin, sacc, dead) = st
             # the backward leg integrates with +eps from (q, -p0) (momentum
             # flip = time reversal); at i == j it ends — reset to the start
@@ -509,8 +519,6 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
             bad = jnp.isnan(Hn) | ((Hn - H0) > max_e)
             w = jnp.where(bad | dead, -jnp.inf, w)
             logw_new = jnp.logaddexp(logw, w)
-            u = jax.random.uniform(jax.random.fold_in(k_sel, i),
-                                   (n_chains,), dtype)
             take = jnp.log(u) < (w - logw_new)
             pq = jnp.where(take[:, None], q_new, pq)
             plp = jnp.where(take, lp_new, plp)
@@ -527,7 +535,10 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
         st0 = (q, -p0, grad, logp,
                jnp.zeros(n_chains, dtype), q, logp, grad, kin0,
                jnp.zeros(n_chains, dtype), jnp.zeros(n_chains, bool))
-        st, dead_trace = jax.lax.scan(leaf, st0, jnp.arange(n_leap),
+        # ALL selection uniforms in one RNG call (a per-leaf fold_in+threefry
+        # would cost ~20 extra ops per leaf)
+        u_sel = jax.random.uniform(k_sel, (n_leap, n_chains), dtype)
+        st, dead_trace = jax.lax.scan(leaf, st0, (jnp.arange(n_leap), u_sel),
                                       unroll=cfg.leaf_unroll)
         (_, p_end, _, _, logw, q_next, logp_next, grad_next, kin_next,
          sacc, _) = st
@@ -561,12 +572,17 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
                H1)
         return (q_next, logp_next, grad_next, da, wf, m_inv, key), out
 
+      return step
+
+    step_w = make_step(n_leap_w)
+    step_s = make_step(n_leap_s)
+
     def warm_step(carry, xs):
-        carry, out = step(carry, xs)
+        carry, out = step_w(carry, xs)
         return carry, out[3]
 
     def sample_step(carry, xs):
-        carry, out = step(carry, xs)
+        carry, out = step_s(carry, xs)
         return carry, out
 
     carry0 = (q0, logp0, grad0, da0, wf0, m_inv0, key)

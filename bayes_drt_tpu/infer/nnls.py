@@ -31,6 +31,16 @@ class QPResult(NamedTuple):
     converged: jax.Array
 
 
+def _spd_solve(M, rhs):
+    """Cholesky solve for a symmetric positive-definite system. On TPU a
+    batched small-matrix LU (jnp.linalg.solve) is several times slower than
+    Cholesky + two triangular solves — and every system this solver builds
+    is SPD by construction."""
+    chol = jnp.linalg.cholesky(M)
+    y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+
+
 def _masked_solve(P, q, at_lb, at_ub, lb, ub):
     """Solve the equality-constrained subproblem: clamped coords pinned at
     their bound, free coords solve P_FF x_F = -(q_F + P_FC x_C)."""
@@ -39,11 +49,13 @@ def _masked_solve(P, q, at_lb, at_ub, lb, ub):
     k = P.shape[0]
     eye = jnp.eye(k, dtype=P.dtype)
     # rows of clamped coords -> identity; columns of clamped coords zeroed in
-    # free rows (their contribution moves to the rhs)
+    # free rows (their contribution moves to the rhs). The result is
+    # SYMMETRIC (free block = P_FF, clamped block = I, off-blocks = 0) and
+    # positive definite, so the Cholesky path applies.
     M = jnp.where(clamped[:, None], eye, P)
     M = jnp.where(jnp.logical_and(~clamped[:, None], clamped[None, :]), 0.0, M)
     rhs = jnp.where(clamped, bound_val, -q - P @ bound_val)
-    return jnp.linalg.solve(M, rhs)
+    return _spd_solve(M, rhs)
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -61,8 +73,14 @@ def solve_qp_box(P, q, lb, ub, max_iter: int = 100, tol: float = 1e-10) -> QPRes
     ub = jnp.broadcast_to(jnp.asarray(ub, dtype=dtype), (k,))
 
     scale = jnp.maximum(jnp.max(jnp.abs(q)), 1.0)
-    tol_p = jnp.asarray(tol, dtype)
-    tol_d = tol * scale
+    # floor the tolerance at the dtype's resolution: the float64 default
+    # (1e-10) is UNREACHABLE in float32 — the violation count then never
+    # hits zero and the loop burns its whole max_iter budget (measured on
+    # TPU: a 14-iteration solve ran 2000 iterations, 20x the wall-clock)
+    machine = jnp.finfo(dtype).eps
+    tol_eff = jnp.maximum(jnp.asarray(tol, dtype), 50.0 * machine)
+    tol_p = tol_eff
+    tol_d = tol_eff * scale
 
     def body(state):
         at_lb, at_ub, _, it, prev_nviol, _ = state
@@ -99,7 +117,7 @@ def solve_qp_box(P, q, lb, ub, max_iter: int = 100, tol: float = 1e-10) -> QPRes
         return jnp.logical_and(it < max_iter, ~done)
 
     # start from the active set implied by the clipped unconstrained solution
-    x0 = jnp.linalg.solve(P, -q)
+    x0 = _spd_solve(P, -q)
     at_lb0 = x0 < lb
     at_ub0 = x0 > ub
     init = (at_lb0, at_ub0, jnp.clip(x0, lb, ub), jnp.asarray(0, jnp.int32),

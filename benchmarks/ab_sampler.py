@@ -41,18 +41,27 @@ def main():
     rp = np.trapezoid(gt_g, np.log(gt_tau))
 
     configs = [
-        ("shmc-n48", dict(sampler="shmc", shmc_cfg=SHMCConfig(n_steps=48))),
-        ("shmc-n48-l2", dict(sampler="shmc",
-                             shmc_cfg=SHMCConfig(n_steps=48, leaf_unroll=2))),
-        ("shmc-n48-d2", dict(sampler="shmc",
-                             shmc_cfg=SHMCConfig(n_steps=48, draw_unroll=2))),
-        ("shmc-n48-l2d2", dict(sampler="shmc",
-                               shmc_cfg=SHMCConfig(n_steps=48, leaf_unroll=2,
-                                                   draw_unroll=2))),
-        ("shmc-n32-l2d2", dict(sampler="shmc",
-                               shmc_cfg=SHMCConfig(n_steps=32, leaf_unroll=2,
-                                                   draw_unroll=2))),
-        ("shmc-n48-rep", dict(sampler="shmc", shmc_cfg=SHMCConfig(n_steps=48))),
+        ("shmc-n48w32", dict(sampler="shmc",
+                             shmc_cfg=SHMCConfig(n_steps=48, warm_steps=32,
+                                                 leaf_unroll=2,
+                                                 draw_unroll=2))),
+        ("shmc-n48w24", dict(sampler="shmc",
+                             shmc_cfg=SHMCConfig(n_steps=48, warm_steps=24,
+                                                 leaf_unroll=2,
+                                                 draw_unroll=2))),
+        ("shmc-n40w24", dict(sampler="shmc",
+                             shmc_cfg=SHMCConfig(n_steps=40, warm_steps=24,
+                                                 leaf_unroll=2,
+                                                 draw_unroll=2))),
+        ("shmc-n64w32", dict(sampler="shmc",
+                             shmc_cfg=SHMCConfig(n_steps=64, warm_steps=32,
+                                                 leaf_unroll=2,
+                                                 draw_unroll=2))),
+        ("shmc-n48w32-rep", dict(sampler="shmc",
+                                 shmc_cfg=SHMCConfig(n_steps=48,
+                                                     warm_steps=32,
+                                                     leaf_unroll=2,
+                                                     draw_unroll=2))),
     ]
 
     for name, kw in configs:

@@ -40,8 +40,9 @@ def main():
     configs = [
         ("ridge-ordinary", 0.10,
          lambda seed: ridge_fit_spectra_batch(freq, Zb, hyper_lambda=False,
-                                              penalty="discrete",
-                                              lambda_0=0.1)),
+                                              penalty="integral",
+                                              weights="modulus",
+                                              lambda_0=1e-2)),
         ("ridge-hyper-lambda", 0.10,
          lambda seed: ridge_fit_spectra_batch(freq, Zb)),
         ("map-lbfgs", 2.0,
