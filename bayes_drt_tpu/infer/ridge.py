@@ -57,6 +57,15 @@ def assemble_qp(part: str, data: RidgeData, L2_mat):
         q = -data.WA_im.T @ data.WT_im + data.L1_vec
     else:
         raise ValueError(f"Invalid part {part!r}")
+    # a coordinate absent from both the design (zero column — e.g. the
+    # R_inf column in an imag-only part fit) and the penalty has a zero
+    # diagonal: the system is singular and a factorization solve would
+    # poison every coordinate with NaNs (the reference's cvxopt returned
+    # garbage there and its post-step overwrote it, inversion.py:854-873).
+    # Pin such coordinates to 0 instead.
+    dead = jnp.diagonal(P) == 0.0
+    P = P + jnp.diag(dead.astype(P.dtype))
+    q = jnp.where(dead, 0.0, q)
     return P, q
 
 

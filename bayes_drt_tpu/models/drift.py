@@ -109,10 +109,14 @@ def init_drift_params(cfg: DriftConfig, data: DriftData, key, init_values=None):
     keys = jax.random.split(key, len(shapes))
     params = {nm: jax.random.uniform(k, shp, minval=-2.0, maxval=2.0)
               for k, (nm, shp) in zip(keys, sorted(shapes.items()))}
-    # gentle deterministic inits for drift parameters (reference: 1395-1402)
+    # gentle inits for drift parameters (reference: 1395-1402) — scaled
+    # down rather than zeroed so multi-restart fits actually explore
+    # different drift basins (with hard zeros every restart shared one
+    # deterministic basin and the selected optimum hinged on FP noise in
+    # the ridge initialization)
     for nm in params:
         if nm.startswith("u_tau") or nm in ("u_k", "u_phi_rq"):
-            params[nm] = jnp.zeros(())
+            params[nm] = 0.3 * params[nm]
     if init_values:
         for nm, v in init_values.items():
             if nm in params:
