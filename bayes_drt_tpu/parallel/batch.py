@@ -687,7 +687,7 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                        scan_unroll: int = 1,
                        basis: str = "gaussian",
                        gamma_eval_tau=None,
-                       sampler: str = "nuts", chees_cfg=None,
+                       sampler: str = "nuts", chees_cfg=None, shmc_cfg=None,
                        warm_start: "BatchFitResult" = None) -> BatchFitResult:
     """Fit spectra with DIFFERENT frequency grids in one XLA program.
 

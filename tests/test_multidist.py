@@ -233,11 +233,21 @@ def test_pdac_experimental_series_parallel_outliers():
 
     ref = pd.read_csv("/root/reference/code_EchemActa/map_results/"
                       "Gout_PDAC_DRT-TpDDT_outliers.csv")
-    for name, col in [("DRT", "gamma"), ("TP-DDT", "ftp")]:
+    # agreement with the committed reference fit of the same data,
+    # per-distribution gates calibrated against the measured agreement
+    # (DRT 0.006x, TP-DDT 0.123x of each curve's own scale)
+    for name, col, gate in [("DRT", "gamma", 0.05), ("TP-DDT", "ftp", 0.25)]:
         g = inv.predict_distribution(name, eval_tau=ref["tau"].values)
         scale = np.max(np.abs(ref[col].values))
         rmse = np.sqrt(np.mean((g - ref[col].values) ** 2))
-        # agreement with the committed reference fit of the same data
-        assert rmse < 0.35 * scale, (col, rmse, scale)
+        assert rmse < gate * scale, (col, rmse, scale)
     z_hat = inv.predict_Z(freq)
     assert np.median(np.abs(z_hat - Z) / np.abs(Z)) < 0.03
+    # the fitted error model must explain its own residuals: z-scored
+    # residuals under predict_sigma (measured median 0.34, p90 1.5)
+    s_re, s_im = inv.predict_sigma(freq)
+    order = np.argsort(freq)[::-1]
+    zs = np.concatenate([(z_hat.real - Z[order].real) / s_re,
+                         (z_hat.imag - Z[order].imag) / s_im])
+    assert np.median(np.abs(zs)) < 1.0, np.median(np.abs(zs))
+    assert np.percentile(np.abs(zs), 90) < 3.0
