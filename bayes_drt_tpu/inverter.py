@@ -23,6 +23,8 @@ from .ops.basis import get_basis_func
 from .infer.ridge import (HyperLambdaConfig, RidgeData, run_hyper_lambda,
                           run_hyper_weights, run_ordinary_ridge)
 from .infer.map import run_lbfgs, run_lbfgs_restarts
+from .infer.chees import (ChEESConfig, SHMCConfig, sample_chees,
+                          sample_shmc)
 from .infer.nuts import NUTSConfig, sample_nuts
 from .infer import diagnostics as mcmc_diagnostics
 from .models.build import build_posterior, sort_distributions, z_scale_for
@@ -673,6 +675,7 @@ class Inverter:
             max_iter=4000, warmup=200, samples=200, chains=2,
             fitY=False, SA=False, SASY=False, n_restarts=2,
             max_tree_depth=10, adapt_delta=0.9, ncp=False,
+            sampler="nuts", chees_cfg=None, shmc_cfg=None,
             add_model_data=None, log_density_fn=None):
         """MAP (mode='optimize') or full HMC (mode='sample') fit of the
         calibrated hierarchical Bayesian model.
@@ -682,6 +685,13 @@ class Inverter:
         Jacobian) — a pure change of variables targeting the SAME
         posterior, which removes the ups->x funnel and substantially
         improves mixing (lower split-Rhat) at short chain budgets.
+
+        ``sampler`` (sample mode): 'nuts' (default, Stan-equivalent),
+        'shmc' (synchronous static multinomial HMC — the fully
+        batch-synchronous TPU form, same posterior; configure via
+        ``shmc_cfg``), or 'chees' (adaptive jittered HMC, ``chees_cfg``;
+        measured weaker than nuts/shmc on the funnel-shaped DRT posterior
+        — prefer shmc unless trajectory-length adaptation is the point).
 
         Escape hatches (the reference's ``add_stan_data``/``model_str``,
         inversion.py:1143-1147):
@@ -810,6 +820,17 @@ class Inverter:
             logp_template = init_unconstrained(cfg, data, key)
             _, unravel = ravel_pytree(logp_template)
             nuts_cfg = NUTSConfig(max_depth=max_tree_depth, delta=adapt_delta)
+            if sampler == "chees":
+                alt_cfg = (chees_cfg if chees_cfg is not None
+                           else ChEESConfig(delta=adapt_delta))
+            elif sampler == "shmc":
+                alt_cfg = (shmc_cfg if shmc_cfg is not None
+                           else SHMCConfig(delta=adapt_delta))
+            elif sampler == "nuts":
+                alt_cfg = None
+            else:
+                raise ValueError(f"Unknown sampler {sampler!r}; options are "
+                                 "'nuts', 'chees', 'shmc'")
 
             def build_sample():
                 def run(dat, ks, *iv_args):
@@ -817,22 +838,39 @@ class Inverter:
                     logp = lambda q: density(cfg, dat, unravel(q),
                                              jacobian=True)
 
-                    def one_chain(chain_key):
-                        k_init, k_run = jax.random.split(chain_key)
+                    def q0_for(k_init):
                         if iv is not None:
                             p0 = init_unconstrained(cfg, dat, k_init,
                                                     init_values=iv)
                         else:
                             p0 = init_unconstrained(cfg, dat, k_init)
-                        q0, _ = ravel_pytree(p0)
-                        return sample_nuts(logp, q0, k_run, warmup=warmup,
-                                           samples=samples, cfg=nuts_cfg)
+                        return ravel_pytree(p0)[0]
+
+                    if sampler in ("chees", "shmc"):
+                        # all chains jointly: these samplers pool their
+                        # adaptation across the chain axis
+                        k_inits = jax.vmap(lambda k: jax.random.split(k)[0])(ks)
+                        q0 = jax.vmap(q0_for)(k_inits)
+                        fn = sample_chees if sampler == "chees" else sample_shmc
+                        draws, info = fn(logp, q0, ks[0], warmup=warmup,
+                                         samples=samples, cfg=alt_cfg)
+                        info = dict(info)
+                        info["step_size"] = jnp.broadcast_to(
+                            info["step_size"], (chains,))
+                        return draws, info
+
+                    def one_chain(chain_key):
+                        k_init, k_run = jax.random.split(chain_key)
+                        return sample_nuts(logp, q0_for(k_init), k_run,
+                                           warmup=warmup, samples=samples,
+                                           cfg=nuts_cfg)
 
                     return jax.vmap(one_chain)(ks)
                 return jax.jit(run)
 
             runner = cached_program(
-                prog_base + ("sample", nuts_cfg, chains, warmup, samples),
+                prog_base + ("sample", sampler, alt_cfg or nuts_cfg, chains,
+                             warmup, samples),
                 build_sample)
             iv_args = () if init_values is None else (init_values,)
             keys = jax.random.split(key, chains)

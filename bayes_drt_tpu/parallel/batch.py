@@ -169,7 +169,7 @@ def _normalize_distributions(distributions):
 
 def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
                   nonneg=False, dtype=None, distributions=None, ncp=False,
-                  basis="gaussian"):
+                  basis="gaussian", outliers=False):
     """Shared per-batch setup: matrices at the common frequency grid for an
     arbitrary distributions dict (default: single series DRT)."""
     if dtype is None:
@@ -211,12 +211,14 @@ def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
 
     z_dummy = np.ones(len(frequencies)) + 0j   # replaced per spectrum via vmap
     cfg, data = build_posterior(distributions, dist_mats, frequencies, z_dummy,
-                                mode=mode, nonneg=nonneg, dtype=dtype, ncp=ncp)
+                                mode=mode, nonneg=nonneg, dtype=dtype, ncp=ncp,
+                                outliers=outliers)
     return frequencies, first_tau, first_eps, cfg, data, distributions
 
 
 def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       basis_freq=None, epsilon=None, nonneg: bool = False,
+                      outliers: bool = False,
                       chains: int = 4, warmup: int = 500, samples: int = 500,
                       max_iter: int = 2000, n_restarts: int = 2,
                       random_seed: int = 0, mesh: Optional[Mesh] = None,
@@ -267,7 +269,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     frequencies, tau, eps, cfg, data, dists_norm = _build_shared(
         frequencies, basis_freq, epsilon, mode="sample" if mode == "sample" else "optimize",
         nonneg=nonneg, dtype=dtype, distributions=distributions,
-        ncp=ncp and mode == "sample", basis=basis)
+        ncp=ncp and mode == "sample", basis=basis, outliers=outliers)
     n_dists = len(cfg.dists)
 
     # per-spectrum scaling, including the calibrated Ystar admittance-std
@@ -675,7 +677,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
 
 
 def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
-                       epsilon=None, nonneg: bool = False, chains: int = 4,
+                       epsilon=None, nonneg: bool = False,
+                       outliers: bool = False, chains: int = 4,
                        warmup: int = 500, samples: int = 500,
                        max_iter: int = 2000, n_restarts: int = 2,
                        random_seed: int = 0, mesh: Optional[Mesh] = None,
@@ -785,7 +788,8 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
     cfg, data0 = build_posterior(dists_norm, dist_mats, freq_pad[0],
                                  z_pad[0], mode="sample" if mode == "sample"
                                  else "optimize", nonneg=nonneg, dtype=dtype,
-                                 ncp=ncp and mode == "sample")
+                                 ncp=ncp and mode == "sample",
+                                 outliers=outliers)
     n_dists = len(cfg.dists)
 
     template = jax.tree.map(lambda a: a.astype(dtype),

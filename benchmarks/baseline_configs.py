@@ -1,10 +1,12 @@
-"""TPU numbers for BASELINE configs 1-3: ordinary ridge, hyper-lambda
-ridge, and MAP (L-BFGS), batched at B=512.
+"""TPU numbers for BASELINE configs 1-5: ordinary ridge, hyper-lambda
+ridge, MAP (L-BFGS), HMC with the outlier error model, and DDT HMC —
+batched at B=512 (B=256 for the multi-matrix DDT workload).
 
 Reference anchors (BASELINE.md): hyper-lambda ridge 0.10 s/spectrum
 (tutorials/1 "Initial ridge fit time"), MAP ~2.0 s/spectrum (tutorials/0
-"MAP fit time"). Ordinary ridge has no recorded reference number; the
-0.10 s ridge row is used as its (conservative) anchor too.
+"MAP fit time"), outlier-model MAP 12-18 s (tutorials/3), DDT HMC
+109.7 s at 2x(200+200) (tutorials/5). Ordinary ridge has no recorded
+reference number; the 0.10 s ridge row is its (conservative) anchor too.
 
 Protocol: prime each program (compile + lazy link), best-of-3 timed runs,
 recovery gate on the ZARC ground truth. Prints one line per config.
@@ -37,6 +39,11 @@ def main():
     gt_tau, gt_g = gt["tau"].values, gt["gamma"].values
     rp = np.trapezoid(gt_g, np.log(gt_tau))
 
+    from bayes_drt_tpu.infer.chees import SHMCConfig
+    shmc = dict(sampler="shmc",
+                shmc_cfg=SHMCConfig(n_steps=48, warm_steps=32,
+                                    leaf_unroll=2, draw_unroll=2))
+
     configs = [
         ("ridge-ordinary", 0.10,
          lambda seed: ridge_fit_spectra_batch(freq, Zb, hyper_lambda=False,
@@ -49,7 +56,39 @@ def main():
          lambda seed: fit_spectra_batch(freq, Zb, mode="optimize",
                                         max_iter=2000, n_restarts=2,
                                         random_seed=seed)),
+        # config 4: HMC with the outlier error model (Tutorial 3's error
+        # structure on the standard workload; ref anchor = the 12-18 s
+        # outlier-model MAP row scaled by the 81.1/2.0 HMC/MAP ratio of
+        # the same tutorial series -> ~608 s, conservatively 515.5/2)
+        ("hmc-outliers", 515.5 / 2.0,
+         lambda seed: fit_spectra_batch(freq, Zb, mode="sample", chains=4,
+                                        warmup=250, samples=250,
+                                        random_seed=seed, ncp=True,
+                                        outliers=True, **shmc)),
     ]
+
+    # config 5: DDT (transmissive planar) HMC — Tutorial 5's workload
+    # (ref: 109.7 s at 2x(200+200); scaled to this 4x(250+250) budget:
+    # 109.7 * (2000/800) = 274 s/spectrum)
+    ddt = pd.read_csv(
+        "/root/reference/data/simulated/Z_BimodalTP-DDT_uniform_0.25.csv")
+    f_ddt = ddt["Freq"].values
+    z_ddt = ddt["Zreal"].values + 1j * ddt["Zimag"].values
+    rng = np.random.default_rng(0)
+    zr = np.max(z_ddt.real) - np.min(z_ddt.real)
+    Zd = z_ddt[None, :] + 0.0025 * zr * (
+        rng.standard_normal((B, len(z_ddt)))
+        + 1j * rng.standard_normal((B, len(z_ddt))))
+    dists = {"TP-DDT": {"kernel": "DDT", "dist_type": "parallel",
+                        "symmetry": "planar", "bc": "transmissive"}}
+    gt_ddt = pd.read_csv("/root/reference/data/simulated/gamma_BimodalTP-DDT.csv")
+    configs.append(
+        ("hmc-ddt-tp", 109.7 * 2000 / 800,
+         lambda seed: fit_spectra_batch(f_ddt, Zd, mode="sample", chains=4,
+                                        warmup=250, samples=250,
+                                        random_seed=seed, ncp=True,
+                                        nonneg=True, distributions=dists,
+                                        **shmc)))
 
     for name, ref_sec, run in configs:
         t0 = time.time()
@@ -65,16 +104,21 @@ def main():
             if el < best:
                 best, res = el, r
 
-        g = evaluate_gamma(res, gt_tau)
-        rmse = float(np.sqrt(np.mean((g.mean(0) - gt_g) ** 2)))
-        per = np.sqrt(np.mean((g - gt_g[None, :]) ** 2, axis=1))
+        if name == "hmc-ddt-tp":
+            tau_q, g_q = gt_ddt["tau"].values, gt_ddt["gamma"].values
+        else:
+            tau_q, g_q = gt_tau, gt_g
+        rp_q = np.trapezoid(g_q, np.log(tau_q))
+        g = evaluate_gamma(res, tau_q)
+        rmse = float(np.sqrt(np.mean((g.mean(0) - g_q) ** 2)))
+        per = np.sqrt(np.mean((g - g_q[None, :]) ** 2, axis=1))
         p90 = float(np.percentile(per, 90))
         spm = B / (best / 60.0)
         ref_spm = 60.0 / ref_sec
         print(f"{name}: best={best:.3f}s spm={spm:.0f} "
               f"sec/spectrum={best/B*1e3:.3f}ms "
               f"vs_ref={spm/ref_spm:.0f}x "
-              f"rmse={100*rmse/rp:.2f}%Rp p90={100*p90/rp:.2f}%Rp",
+              f"rmse={100*rmse/rp_q:.2f}%Rp p90={100*p90/rp_q:.2f}%Rp",
               flush=True)
 
 

@@ -59,6 +59,26 @@ def main():
               f"logp split-Rhat "
               f"{res.diagnostics['logp_rhat'].mean():.2f}")
 
+    # the TPU-first production sampler: synchronous static multinomial HMC
+    # (every draw of every chain runs the same static-scan trajectory —
+    # zero batch divergence under vmap; bench.py's configuration)
+    from bayes_drt_tpu.infer.chees import SHMCConfig
+    res = fit_spectra_batch(freq, zb, mode="sample", chains=2, warmup=150,
+                            samples=150, random_seed=1, ncp=True,
+                            sampler="shmc",
+                            shmc_cfg=SHMCConfig(n_steps=48, warm_steps=32),
+                            gamma_eval_tau=gt["tau"].values)
+    gam = evaluate_gamma(res, gt["tau"].values)
+    rmse = float(np.sqrt(np.mean((gam.mean(axis=0) - gt["gamma"].values) ** 2)))
+    cov = float(np.mean((gt["gamma"].values[None, :]
+                         >= res.diagnostics["gamma_eval_lo"])
+                        & (gt["gamma"].values[None, :]
+                           <= res.diagnostics["gamma_eval_hi"])))
+    print(f"ncp+shmc   : gamma RMSE {rmse / rp * 100:.2f}% of Rp, "
+          f"divergence rate {res.diagnostics['divergence_rate'].mean():.3f}, "
+          f"pointwise 95%-CI coverage {cov:.3f}, "
+          f"min-ESS median {np.median(res.diagnostics['min_ess']):.1f}")
+
     # pooled preconditioning: one shared dense metric estimated from pilot
     # draws pooled across the whole batch (see fit_spectra_batch docstring)
     res = fit_spectra_batch(freq, zb, mode="sample", chains=2, warmup=150,

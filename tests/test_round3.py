@@ -313,3 +313,25 @@ def test_ragged_ddt_ystar_scaling_parity():
                  "symmetry": "planar", "bc": "blocking"}},
         Z[idx], fit_type="map"))
     np.testing.assert_allclose(res2.z_scales[0], expected2, rtol=1e-10)
+
+
+def test_inverter_fit_shmc_sampler():
+    """The single-spectrum Inverter.fit exposes the batch APIs' samplers:
+    sampler='shmc' targets the identical posterior and recovers the ZARC
+    ground truth at the short budget."""
+    from bayes_drt_tpu import Inverter
+    df = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    inv = Inverter()
+    inv.fit(freq, Z, mode="sample", chains=4, warmup=150, samples=150,
+            ncp=True, sampler="shmc", random_seed=0, check_outliers=False)
+    assert inv.fit_type == "bayes"
+    g = inv.predict_distribution("DRT", eval_tau=gt["tau"].values)
+    rmse = np.sqrt(np.mean((g - gt["gamma"].values) ** 2))
+    assert rmse < 0.05 * rp, rmse
+    assert inv.sample_diagnostics["divergence_rate"] < 0.02
+    with pytest.raises(ValueError, match="Unknown sampler"):
+        inv.fit(freq, Z, mode="sample", sampler="bogus")
