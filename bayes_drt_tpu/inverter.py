@@ -702,11 +702,17 @@ class Inverter:
         - ``log_density_fn``: callable ``(cfg, data, params, jacobian) ->
           scalar`` replacing the built-in log density entirely (the
           ``model_str`` analogue: swap the probabilistic model while reusing
-          matrix assembly, scaling, solvers and extraction)."""
-        if SA or SASY:
-            raise ValueError("The SA/SASY row-scaling experiments are marked "
-                             "'for testing only' in the reference "
-                             "(inversion.py:1150-1151) and are not implemented")
+          matrix assembly, scaling, solvers and extraction).
+
+        ``SA``/``SASY`` (parallel fitY only) are the reference's
+        experimental row-scaling variants, marked 'for testing only' there
+        (reference: inversion.py:1150-1151, 1756-1866): S = diag(1/|Y|)
+        equilibrates the design-matrix rows. SA keeps the likelihood in
+        unscaled admittance space (the Parallel_fitY_SA Stan model —
+        algebraically identical to the plain fitY fit, a floating-point
+        conditioning experiment); SASY also scales Y and fits in scaled
+        space, which changes the error model (error-structure parameters
+        are then in scaled-admittance units). Mutually exclusive."""
         if ridge_kw is None:
             ridge_kw = {}
         from .profiling import StageTimer
@@ -750,7 +756,8 @@ class Inverter:
             self.distributions, dist_mat, frequencies, Z_scaled, mode=mode,
             part=part, nonneg=nonneg, outliers=bool(outliers), fitY=fitY,
             sigma_min=sigma_min, inductance_scale=inductance_scale,
-            outlier_lambda=outlier_lambda, ncp=ncp and mode == "sample")
+            outlier_lambda=outlier_lambda, ncp=ncp and mode == "sample",
+            SA=SA, SASY=SASY)
         if add_model_data:
             unknown = set(add_model_data) - set(PosteriorData._fields)
             if unknown:

@@ -80,12 +80,25 @@ def build_posterior(distributions: dict, dist_matrices: dict, frequencies,
                     nonneg: bool = False, outliers: bool = False,
                     fitY: bool = False, sigma_min: float = 0.002,
                     inductance_scale: float = 1.0, outlier_lambda=None,
-                    dtype=jnp.float64, ncp: bool = False):
+                    dtype=jnp.float64, ncp: bool = False,
+                    SA: bool = False, SASY: bool = False):
     """Returns (PosteriorConfig, PosteriorData).
 
     ``Z_scaled``: complex impedance AFTER Z-scaling (reference applies
     _scale_Z before _prep_stan_data). ``dist_matrices[name]`` must contain
     A_re, A_im (N, K) and L0, L1, L2 (K, K) for each distribution.
+
+    ``SA``/``SASY`` are the reference's experimental row-scaling variants
+    (reference: inversion.py:1756-1866), valid only with ``fitY=True``:
+    both equilibrate the design matrix rows by S = diag(1/|Y|). ``SA``
+    keeps the likelihood in unscaled admittance space (Y_hat = S_inv @
+    (SA @ x), Parallel_fitY_SA_modelcode.txt — algebraically identical to
+    the plain fitY model); ``SASY`` also scales the data (Y -> S @ Y) and
+    fits the plain fitY model in scaled space, which CHANGES the error
+    model (homoscedastic noise in scaled space ~ proportional error in raw
+    admittance). They are mutually exclusive: the reference's combined
+    branch compares scaled data against an unscaled prediction
+    (inversion.py:1803 vs 1862) and is broken.
     """
     if mode not in ("optimize", "sample"):
         raise ValueError(f"Invalid mode {mode!r}")
@@ -103,6 +116,16 @@ def build_posterior(distributions: dict, dist_matrices: dict, frequencies,
 
     if fitY and (n_parallel == 0 or n_series > 0):
         raise ValueError("fitY=True is only valid for parallel distributions")
+    if (SA or SASY) and not fitY:
+        # the reference only ships a Stan model for the fitY variant
+        # (stan_model_files/Parallel_fitY_SA_modelcode.txt); any other
+        # combination fails its model load (inversion.py:1604-1612)
+        raise ValueError("SA/SASY row scaling is only valid with fitY=True")
+    if SA and SASY:
+        raise ValueError(
+            "SA and SASY are mutually exclusive: the reference's combined "
+            "branch is inconsistent (scaled Y against an unscaled Y_hat, "
+            "inversion.py:1803,1862); choose one")
 
     if len(names) == 1:
         kinds = {names[0]: "single"}
@@ -110,6 +133,14 @@ def build_posterior(distributions: dict, dist_matrices: dict, frequencies,
         kinds = {nm: distributions[nm]["dist_type"] for nm in names}
     else:
         kinds = {nm: "multi" for nm in names}
+
+    # row-equilibration scale for the SA/SASY experiments: S = diag(1/|Y|)
+    # ("using modulus of Y for scale", reference: inversion.py:1767-1771)
+    if SA or SASY:
+        Ymod = np.abs(1.0 / np.asarray(Z_scaled))
+        row_scale = np.concatenate([Ymod, Ymod])  # (2N,)
+    else:
+        row_scale = None
 
     dist_cfgs = []
     A_list, L_list, x_scales = [], [], []
@@ -119,7 +150,10 @@ def build_posterior(distributions: dict, dist_matrices: dict, frequencies,
         k = mats["A_re"].shape[1]
         dist_cfgs.append(DistConfig(name=nm, dist_type=info["dist_type"],
                                     kernel=info.get("kernel", "DRT"), K=k))
-        A = jnp.asarray(np.concatenate([mats["A_re"], mats["A_im"]]), dtype=dtype)
+        A_np = np.concatenate([mats["A_re"], mats["A_im"]])
+        if row_scale is not None:
+            A_np = A_np / row_scale[:, None]
+        A = jnp.asarray(A_np, dtype=dtype)
         s0, s1, s2 = _L_SCALES[(mode, kinds[nm])]
         L = jnp.asarray(np.stack([s0 * np.asarray(mats["L0"]),
                                   s1 * np.asarray(mats["L1"]),
@@ -135,6 +169,10 @@ def build_posterior(distributions: dict, dist_matrices: dict, frequencies,
     if fitY:
         Y = 1.0 / Z
         target = np.concatenate([Y.real, Y.imag])
+        if SASY:
+            # fit in scaled admittance space: Y -> S @ Y
+            # (reference: inversion.py:1834-1837,1862)
+            target = target / row_scale
     else:
         target = np.concatenate([Z.real, Z.imag])
 
@@ -154,7 +192,8 @@ def build_posterior(distributions: dict, dist_matrices: dict, frequencies,
         sigma_out_alpha = 2.0
 
     cfg = PosteriorConfig(dists=tuple(dist_cfgs), nonneg=nonneg,
-                          outliers=outliers, fitY=fitY, part=part, ncp=ncp)
+                          outliers=outliers, fitY=fitY, part=part, ncp=ncp,
+                          sa=SA)
     data = PosteriorData(
         A=tuple(A_list), L=tuple(L_list),
         target=jnp.asarray(target, dtype=dtype),
@@ -170,5 +209,6 @@ def build_posterior(distributions: dict, dist_matrices: dict, frequencies,
         sigma_out_alpha=jnp.asarray(sigma_out_alpha, dtype=dtype),
         sigma_out_beta=jnp.asarray(1.0, dtype=dtype),
         lik_mask=jnp.asarray(mask, dtype=dtype),
+        sa_inv=(jnp.asarray(row_scale, dtype=dtype) if SA else None),
     )
     return cfg, data

@@ -14,6 +14,11 @@ inversion.py:1566-1614) with a single function parameterized by:
   contribution with exponential/inverse-gamma hyperprior
 - ``fitY`` (the ``_fitY`` variants): fit admittance directly, no R_inf or
   inductance
+- ``sa`` (the ``_SA`` variant, Parallel_fitY_SA_modelcode.txt): row-scaled
+  design matrix with the likelihood evaluated in unscaled admittance space
+  (Y_hat = S_inv @ (SA @ x)) — algebraically identical to the plain fitY
+  model, a floating-point row-equilibration experiment (reference:
+  inversion.py:1756-1810)
 
 Constrained (<lower=0>) parameters use the same exp transform Stan uses;
 ``jacobian=True`` adds the log|J| terms (sampling measure), ``jacobian=False``
@@ -55,6 +60,9 @@ class PosteriorConfig(NamedTuple):
                             # of variables — the posterior over (x, ups, ...)
                             # is IDENTICAL — that removes the multiplicative
                             # ups->x funnel the centered form gives NUTS.
+    sa: bool = False        # _SA variant: data.A holds the row-equilibrated
+                            # SA = S @ A and predictions are un-scaled via
+                            # data.sa_inv before the likelihood (fitY only).
 
     @property
     def n_series(self):
@@ -81,6 +89,8 @@ class PosteriorConfig(NamedTuple):
             name += "_pos"
         if self.fitY:
             name += "_fitY"
+        if self.sa:
+            name += "_SA"
         if self.outliers:
             name += "_outliers"
         return name
@@ -102,6 +112,9 @@ class PosteriorData(NamedTuple):
     sigma_out_alpha: jax.Array
     sigma_out_beta: jax.Array
     lik_mask: jax.Array     # (2N,) 1/0 mask for part='both'/'real'/'imag'
+    sa_inv: object = None   # (2N,) S_inv diagonal when cfg.sa (else None;
+                            # None is an empty pytree leaf so existing
+                            # programs/caches are unaffected)
 
 
 def _x_is_positive(cfg: PosteriorConfig, dist: DistConfig) -> bool:
@@ -207,6 +220,10 @@ def predict_target(cfg: PosteriorConfig, data: PosteriorData, c: dict):
             denom = y_re**2 + y_im**2
             contrib = jnp.concatenate([y_re / denom, -y_im / denom])
         pred = pred + contrib
+    if cfg.sa:
+        # _SA model: Y_hat = S_inv @ (SA @ x)
+        # (reference: Parallel_fitY_SA_modelcode.txt:45-46)
+        pred = data.sa_inv * pred
     if not cfg.fitY:
         rinf_vec = jnp.concatenate([jnp.ones(n), jnp.zeros(n)])
         induc_vec = jnp.concatenate([jnp.zeros(n), 2.0 * jnp.pi * data.freq])

@@ -33,6 +33,62 @@ def test_fitY_admittance_fit():
     assert np.median(rel) < 0.05, np.median(rel)
 
 
+_DDT41 = {"kernel": "DDT", "symmetry": "planar", "bc": "transmissive",
+          "dist_type": "parallel", "basis_freq": np.logspace(6, -3, 41)}
+
+
+def _fitY_yhat(inv, freq, Z):
+    order = np.argsort(freq)[::-1]
+    f_s, Y_s = freq[order], (1.0 / Z)[order]
+    mat = inv._get_prediction_matrices(f_s, ["DDT"])["DDT"]
+    coef = inv.distribution_fits["DDT"]["coef"]
+    return Y_s, mat["A_re"] @ coef + 1j * (mat["A_im"] @ coef)
+
+
+def test_sa_row_scaling_matches_plain_fitY():
+    """SA equilibrates the design-matrix rows but keeps the likelihood in
+    unscaled admittance space (Parallel_fitY_SA_modelcode.txt:45-46) — the
+    posterior is algebraically identical to the plain fitY model, so the
+    MAP recovery must agree (it is purely a conditioning experiment,
+    reference: inversion.py:1756-1810)."""
+    freq, Z = load("Z_BimodalTP-DDT_uniform_0.05.csv")
+    res = {}
+    for kw in ({}, {"SA": True}):
+        inv = Inverter(distributions={"DDT": dict(_DDT41)})
+        inv.fit(freq, Z, fitY=True, random_seed=0, n_restarts=2, **kw)
+        res[bool(kw)] = _fitY_yhat(inv, freq, Z) + (inv.stan_model_name,)
+    assert res[True][2] == "Parallel_fitY_SA"
+    Y_s, yh_plain, _ = res[False]
+    _, yh_sa, _ = res[True]
+    # both track the admittance...
+    assert np.median(np.abs(yh_sa - Y_s) / np.abs(Y_s)) < 0.05
+    # ...and agree with each other far more tightly than with the data
+    rel = np.abs(yh_sa - yh_plain) / np.abs(Y_s)
+    assert np.median(rel) < 5e-3, np.median(rel)
+
+
+def test_sasy_scaled_space_fit():
+    """SASY fits the plain fitY model in S-scaled admittance space
+    (reference: inversion.py:1823-1866) — a different, relative-error-like
+    error model; the recovery must still track the true admittance. Model
+    name carries no suffix (the reference loads Parallel_fitY for it)."""
+    freq, Z = load("Z_BimodalTP-DDT_uniform_0.05.csv")
+    inv = Inverter(distributions={"DDT": dict(_DDT41)})
+    inv.fit(freq, Z, fitY=True, SASY=True, random_seed=0, n_restarts=2)
+    assert inv.stan_model_name == "Parallel_fitY"
+    Y_s, yh = _fitY_yhat(inv, freq, Z)
+    assert np.median(np.abs(yh - Y_s) / np.abs(Y_s)) < 0.05
+
+
+def test_sa_sasy_validation():
+    freq, Z = load("Z_ZARC_Macdonald_0.25.csv")
+    with pytest.raises(ValueError, match="only valid with fitY"):
+        Inverter().fit(freq, Z, SA=True)
+    inv = Inverter(distributions={"DDT": dict(_DDT41)})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        inv.fit(freq, Z, fitY=True, SA=True, SASY=True)
+
+
 def test_fitY_requires_parallel():
     freq, Z = load("Z_ZARC_Macdonald_0.25.csv")
     inv = Inverter()
