@@ -1,7 +1,7 @@
-from .plotting import (plot_bode, plot_distribution, plot_eis, plot_fit,
-                       plot_full_results, plot_jv, plot_nyquist, plot_ocv,
-                       plot_residuals)
+from .plotting import (match_axis_scales, plot_bode, plot_distribution,
+                       plot_eis, plot_fit, plot_full_results, plot_jv,
+                       plot_nyquist, plot_ocv, plot_residuals)
 
-__all__ = ["plot_bode", "plot_distribution", "plot_eis", "plot_fit",
+__all__ = ["match_axis_scales", "plot_bode", "plot_distribution", "plot_eis", "plot_fit",
            "plot_full_results", "plot_jv", "plot_nyquist", "plot_ocv",
            "plot_residuals"]

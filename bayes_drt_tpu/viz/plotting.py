@@ -19,6 +19,59 @@ def _scaled(df, area):
     return f, z
 
 
+def _expand_lim(lo, hi, data, zero_floor):
+    """Expand an axis interval to cover ``data`` with a 10% margin.
+
+    Expand-only (overlay calls accumulate limits across datasets), and when
+    the data is non-negative the lower limit is floored at 0 — the two rules
+    of the reference's Nyquist limit handling (reference: plotting.py:186-216)."""
+    rng = data.max() - data.min()
+    if data.min() < lo:
+        lo = data.min() - 0.1 * rng
+    if data.max() > hi:
+        hi = data.max() + 0.1 * rng
+    if zero_floor and data.min() >= 0:
+        # also clamps matplotlib's auto-margin, which dips slightly below 0
+        # (tightening of the reference's "don't go negative" intent)
+        lo = max(0.0, lo)
+    return lo, hi
+
+
+def match_axis_scales(ax, y_data=None):
+    """Make one data unit span the same number of inches on x and y.
+
+    The reference's visual-scale matcher (reference: plotting.py:218-253):
+    measure the axes box in figure inches, compare units-per-inch on each
+    axis, and EXPAND the tighter-scaled axis to match — never shrink, so
+    repeated overlay calls only ever grow the view. Expansion respects the
+    zero floor: a non-negative axis grows rightward/upward once its lower
+    limit hits 0; a sign-spanning y axis distributes growth proportionally
+    between the negative and positive sides. ``y_data`` (optional) tells the
+    sign check about the plotted -Z'' values; otherwise the current lower
+    limit decides."""
+    fig = ax.get_figure()
+    xlo, xhi = ax.get_xlim()
+    ylo, yhi = ax.get_ylim()
+    bbox = ax.get_window_extent().transformed(fig.dpi_scale_trans.inverted())
+    xscale = (xhi - xlo) / bbox.width
+    yscale = (yhi - ylo) / bbox.height
+    if yscale > xscale:
+        extra = (yscale - xscale) * bbox.width
+        new_lo = max(0.0, xlo - extra / 2) if xlo >= 0 else xlo - extra / 2
+        ax.set_xlim(new_lo, xhi + extra - (xlo - new_lo))
+    elif xscale > yscale:
+        extra = (xscale - yscale) * bbox.height
+        y_min = ylo if y_data is None else np.min(y_data)
+        if y_min >= 0:
+            new_lo = max(0.0, ylo - extra / 2)
+            ax.set_ylim(new_lo, yhi + extra - (ylo - new_lo))
+        else:
+            neg, pos = abs(ylo), abs(yhi)
+            ax.set_ylim(ylo - extra * neg / (neg + pos),
+                        yhi + extra * pos / (neg + pos))
+    return ax
+
+
 def plot_nyquist(df, area=None, ax=None, label="", plot_func="scatter",
                  unit_scale="auto", set_aspect_ratio=True, **plt_kw):
     """-Z'' vs Z' with equal axis scaling (reference: plotting.py:112-254)."""
@@ -40,7 +93,9 @@ def plot_nyquist(df, area=None, ax=None, label="", plot_func="scatter",
     if label:
         ax.legend()
     if set_aspect_ratio:
-        ax.set_aspect("equal", adjustable="datalim")
+        ax.set_ylim(*_expand_lim(*ax.get_ylim(), y, zero_floor=True))
+        ax.set_xlim(*_expand_lim(*ax.get_xlim(), x, zero_floor=True))
+        match_axis_scales(ax, y_data=y)
     return ax
 
 
@@ -253,14 +308,62 @@ def plot_full_results(df, inv, axes=None, bode_cols=None, plot_data=True,
     return axes
 
 
-def plot_ocv(data, ax=None, **plt_kw):
-    """OCV vs time (reference: plotting.py:14-57; simplified: takes a
-    DataFrame from read_ocv rather than a directory crawl)."""
+def plot_ocv(data, filter_func=None, files=None, ax=None, invert="auto",
+             same_color=True, **plt_kw):
+    """OCV vs time (reference: plotting.py:14-57).
+
+    ``data`` may be a DataFrame from ``read_ocv`` (single trace), or a
+    directory path: every matching OCV/OCP .DTA file is loaded and overlaid
+    on a common time axis anchored at the earliest file's start timestamp.
+    Select files with ``files`` (name or list of names) or ``filter_func``
+    (filename predicate); default grabs OCV*/OCP* .DTA. ``invert='auto'``
+    flips the sign so the dominant voltage plots positive."""
+    import os
+
+    import pandas as pd
+
     if ax is None:
         _, ax = plt.subplots(figsize=(5, 3))
-    t_col = "T" if "T" in data.columns else "Time"
-    ax.plot(data[t_col].values / 3600.0, data["Vf"].values, **plt_kw)
-    ax.set_xlabel("$t$ / h")
+
+    if hasattr(data, "columns"):  # single DataFrame trace
+        t_col = "T" if "T" in data.columns else "Time"
+        ax.plot(data[t_col].values / 3600.0, data["Vf"].values, **plt_kw)
+        ax.set_xlabel("$t$ / h")
+        ax.set_ylabel("OCV / V")
+        return ax
+
+    from ..io.file_load import read_ocv
+
+    datadir = os.fspath(data)
+    if filter_func is not None and files is not None:
+        raise ValueError("Both filter_func and files have been specified. "
+                         "Please specify only one")
+    if files is None:
+        if filter_func is None:
+            filter_func = (lambda f: f[:3] in ("OCV", "OCP")
+                           and f[-3:] == "DTA")
+        files = sorted(f for f in os.listdir(datadir) if filter_func(f))
+    elif isinstance(files, str):
+        files = [files]
+
+    dfs = [read_ocv(os.path.join(datadir, f)) for f in files]
+    dfs = [df for df in dfs if len(df) > 0]
+    if not dfs:
+        raise ValueError(f"No non-empty OCV files found in {datadir}")
+    t0 = min(df["timestamp"].iloc[0] for df in dfs)
+
+    if invert == "auto":
+        allv = pd.concat([df["Vf"] for df in dfs], ignore_index=True)
+        v_sign = np.sign(allv.iloc[allv.abs().idxmax()])
+    else:
+        v_sign = -1.0 if invert else 1.0
+
+    if same_color and not ({"c", "color"} & set(plt_kw)):
+        plt_kw["c"] = plt.rcParams["axes.prop_cycle"].by_key()["color"][0]
+    for df in dfs:
+        t_h = (df["timestamp"] - t0).dt.total_seconds() / 3600.0
+        ax.plot(t_h, v_sign * df["Vf"].values, **plt_kw)
+    ax.set_xlabel("Time / h")
     ax.set_ylabel("OCV / V")
     return ax
 
