@@ -410,6 +410,20 @@ class SHMCConfig(NamedTuple):
                                   # trajectory TIME jitters ~1.5x while the
                                   # step count stays static (smaller h only
                                   # improves integration accuracy)
+    rng_impl: str = "threefry"    # 'rbg' re-keys onto XLA's hardware
+                                  # RngBitGenerator stream (identical
+                                  # distributions, different stream): the
+                                  # per-draw (C, D) momentum refresh is
+                                  # threefry-COMPUTE bound at large D, and
+                                  # rbg is near-free on TPU
+    recompute_grad: bool = False  # don't carry the selected proposal's
+                                  # (C, D) gradient through the leaf scan
+                                  # (one masked select + carry per leaf);
+                                  # recompute it ONCE per draw after
+                                  # selection — trades 1/n_steps extra
+                                  # gradient evals for n_steps fewer (C, D)
+                                  # selects. Same posterior; draws differ
+                                  # only by float re-association.
 
 
 @partial(jax.jit, static_argnames=("logp_fn", "warmup", "samples", "cfg"))
@@ -445,6 +459,13 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
         m_inv0 = jnp.asarray(metric, dtype)
     else:
         m_inv0 = jnp.ones((dim,), dtype)
+    if cfg.rng_impl == "rbg":
+        # re-key the (old-style uint32[2]) threefry key onto the hardware
+        # RngBitGenerator stream; all downstream split/normal/uniform calls
+        # then lower to XLA RngBitGenerator ops
+        kd = jnp.asarray(key, jnp.uint32).reshape(-1)
+        key = jax.random.wrap_key_data(jnp.concatenate([kd, kd])[:4],
+                                       impl="rbg")
     key, k_eps = jax.random.split(key)
     eps0 = jax.vmap(
         lambda q, lp, g, k: find_reasonable_step_size(
@@ -478,15 +499,23 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
         wf0 = (jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
                jnp.zeros((), dtype))
 
-    def make_step(n_leap):
+    def make_step(n_leap, adapting=True, eps_fixed=None):
+      """``adapting=False`` specializes the SAMPLING phase: dual averaging,
+      Welford and the pooled step-size min are all frozen after warmup, so
+      the sampling step closes over the adapted step size and skips the
+      adaptation bookkeeping entirely (bit-identical draws — the skipped
+      ops were masked no-ops)."""
       def step(carry, xs):
         q, logp, grad, da, wf, m_inv, key = carry
         is_warm, slow, wend, h, j = xs
         key, k_mom, k_sel = jax.random.split(key, 3)
 
-        eps_samp = jnp.exp(da.log_eps_bar).min()
-        eps = jnp.where(is_warm, jnp.exp(da.log_eps),
-                        jnp.broadcast_to(eps_samp, (n_chains,)))
+        if adapting:
+            eps_samp = jnp.exp(da.log_eps_bar).min()
+            eps = jnp.where(is_warm, jnp.exp(da.log_eps),
+                            jnp.broadcast_to(eps_samp, (n_chains,)))
+        else:
+            eps = jnp.broadcast_to(eps_fixed, (n_chains,))
         eps = eps * h
         epsc = eps[:, None]
 
@@ -522,7 +551,8 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
             take = jnp.log(u) < (w - logw_new)
             pq = jnp.where(take[:, None], q_new, pq)
             plp = jnp.where(take, lp_new, plp)
-            pgrad = jnp.where(take[:, None], g_new, pgrad)
+            if not cfg.recompute_grad:
+                pgrad = jnp.where(take[:, None], g_new, pgrad)
             pkin = jnp.where(take, kin, pkin)
             sacc = sacc + jnp.minimum(1.0, jnp.exp(w))
             dead_new = dead | bad
@@ -532,8 +562,13 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
                      logw_new, pq, plp, pgrad, pkin, sacc, dead_new),
                     dead_new)
 
+        # recompute_grad drops the (C, D) selected-gradient carry: the scan
+        # carries a zero-width placeholder and the gradient of the selected
+        # state is recomputed once after the trajectory
+        grad_carry0 = (jnp.zeros((n_chains, 0), dtype) if cfg.recompute_grad
+                       else grad)
         st0 = (q, -p0, grad, logp,
-               jnp.zeros(n_chains, dtype), q, logp, grad, kin0,
+               jnp.zeros(n_chains, dtype), q, logp, grad_carry0, kin0,
                jnp.zeros(n_chains, dtype), jnp.zeros(n_chains, bool))
         # ALL selection uniforms in one RNG call (a per-leaf fold_in+threefry
         # would cost ~20 extra ops per leaf)
@@ -542,14 +577,18 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
                                       unroll=cfg.leaf_unroll)
         (_, p_end, _, _, logw, q_next, logp_next, grad_next, kin_next,
          sacc, _) = st
+        if cfg.recompute_grad:
+            _, grad_next = value_and_grad(q_next)
         diverging = dead_trace.any(axis=0)
         accept_prob = sacc / n_leap
         H1 = -logp_next + kin_next
 
-        da_new = _da_update(da, accept_prob, cfg)
-        da = jax.tree.map(lambda n_, o: jnp.where(is_warm, n_, o), da_new, da)
+        if adapting:
+            da_new = _da_update(da, accept_prob, cfg)
+            da = jax.tree.map(lambda n_, o: jnp.where(is_warm, n_, o),
+                              da_new, da)
 
-        if cfg.adapt_mass:
+        if adapting and cfg.adapt_mass:
             mean, m2, n = wf
             n1 = n + 1.0
             dlt = q_next - mean
@@ -575,15 +614,10 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
       return step
 
     step_w = make_step(n_leap_w)
-    step_s = make_step(n_leap_s)
 
     def warm_step(carry, xs):
         carry, out = step_w(carry, xs)
         return carry, out[3]
-
-    def sample_step(carry, xs):
-        carry, out = step_s(carry, xs)
-        return carry, out
 
     carry0 = (q0, logp0, grad0, da0, wf0, m_inv0, key)
     xs_w = (in_warm[:warmup], in_slow[:warmup], win_end[:warmup],
@@ -592,6 +626,15 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
             jit_mult[warmup:], j_split[warmup:])
     carry, warm_div = jax.lax.scan(warm_step, carry0, xs_w,
                                    unroll=cfg.draw_unroll)
+    # sampling runs at the frozen pooled-min step size — close the
+    # specialized non-adapting step over it
+    eps_fixed = jnp.exp(carry[3].log_eps_bar).min()
+    step_s = make_step(n_leap_s, adapting=False, eps_fixed=eps_fixed)
+
+    def sample_step(carry, xs):
+        carry, out = step_s(carry, xs)
+        return carry, out
+
     carry, outs = jax.lax.scan(sample_step, carry, xs_s,
                                unroll=cfg.draw_unroll)
     q_s, logp_s, acc_s, div_s, nstep_s, en_s = outs

@@ -83,8 +83,11 @@ def main():
     gt_tau, gt_g = gt["tau"].values, gt["gamma"].values
     rp = np.trapezoid(gt_g, np.log(gt_tau))
 
+    # recompute_grad: don't carry the selected proposal's (C, D) gradient
+    # through the leaf scan — one gradient recompute per draw instead of a
+    # masked select per leaf (measured +4% back-to-back, draws unchanged)
     shmc_cfg = SHMCConfig(n_steps=N_STEPS, warm_steps=WARM_STEPS,
-                          leaf_unroll=2, draw_unroll=2)
+                          leaf_unroll=2, draw_unroll=2, recompute_grad=True)
 
     def run(seed):
         return fit_spectra_batch(freq, Zb, mode="sample", chains=CHAINS,

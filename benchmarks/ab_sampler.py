@@ -40,28 +40,26 @@ def main():
     gt_g = gt["gamma"].values
     rp = np.trapezoid(gt_g, np.log(gt_tau))
 
+    base = dict(n_steps=48, warm_steps=32, leaf_unroll=2, draw_unroll=2)
     configs = [
-        ("shmc-n48w32", dict(sampler="shmc",
-                             shmc_cfg=SHMCConfig(n_steps=48, warm_steps=32,
-                                                 leaf_unroll=2,
-                                                 draw_unroll=2))),
-        ("shmc-n48w24", dict(sampler="shmc",
-                             shmc_cfg=SHMCConfig(n_steps=48, warm_steps=24,
-                                                 leaf_unroll=2,
-                                                 draw_unroll=2))),
-        ("shmc-n40w24", dict(sampler="shmc",
-                             shmc_cfg=SHMCConfig(n_steps=40, warm_steps=24,
-                                                 leaf_unroll=2,
-                                                 draw_unroll=2))),
-        ("shmc-n64w32", dict(sampler="shmc",
-                             shmc_cfg=SHMCConfig(n_steps=64, warm_steps=32,
-                                                 leaf_unroll=2,
-                                                 draw_unroll=2))),
-        ("shmc-n48w32-rep", dict(sampler="shmc",
-                                 shmc_cfg=SHMCConfig(n_steps=48,
-                                                     warm_steps=32,
-                                                     leaf_unroll=2,
-                                                     draw_unroll=2))),
+        ("shmc-base", dict(sampler="shmc", shmc_cfg=SHMCConfig(**base))),
+        ("shmc-regrad", dict(sampler="shmc",
+                             shmc_cfg=SHMCConfig(**base,
+                                                 recompute_grad=True))),
+        ("shmc-rbg-regrad", dict(sampler="shmc",
+                                 shmc_cfg=SHMCConfig(**base, rng_impl="rbg",
+                                                     recompute_grad=True))),
+        ("shmc-regrad-l4", dict(sampler="shmc",
+                                shmc_cfg=SHMCConfig(n_steps=48, warm_steps=32,
+                                                    leaf_unroll=4,
+                                                    draw_unroll=2,
+                                                    recompute_grad=True))),
+        ("shmc-regrad-d4", dict(sampler="shmc",
+                                shmc_cfg=SHMCConfig(n_steps=48, warm_steps=32,
+                                                    leaf_unroll=2,
+                                                    draw_unroll=4,
+                                                    recompute_grad=True))),
+        ("shmc-base-rep", dict(sampler="shmc", shmc_cfg=SHMCConfig(**base))),
     ]
 
     for name, kw in configs:

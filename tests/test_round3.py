@@ -87,6 +87,37 @@ def test_shmc_samples_correlated_gaussian():
     assert float(ess(np.asarray(draws)).min()) > 100
 
 
+def test_shmc_recompute_grad_bit_identical():
+    """recompute_grad only changes WHERE the selected state's gradient is
+    computed (once per draw instead of a masked select per leaf) — the
+    sampled chain must be bit-identical on the deterministic CPU backend."""
+    cov, logp = _gaussian_target()
+    d = cov.shape[0]
+    key = jax.random.PRNGKey(3)
+    q0 = jax.random.normal(key, (4, d))
+    base, _ = sample_shmc(logp, q0, key, warmup=200, samples=200,
+                          cfg=SHMCConfig(n_steps=16))
+    slim, _ = sample_shmc(logp, q0, key, warmup=200, samples=200,
+                          cfg=SHMCConfig(n_steps=16, recompute_grad=True))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(slim))
+
+
+def test_shmc_rbg_stream_samples_correctly():
+    """rng_impl='rbg' re-keys onto the hardware RngBitGenerator stream —
+    different draws, same target distribution."""
+    cov, logp = _gaussian_target()
+    d = cov.shape[0]
+    key = jax.random.PRNGKey(4)
+    q0 = jax.random.normal(key, (4, d))
+    draws, info = sample_shmc(logp, q0, key, warmup=400, samples=400,
+                              cfg=SHMCConfig(n_steps=16, rng_impl="rbg"))
+    flat = np.asarray(draws).reshape(-1, d)
+    assert np.abs(flat.mean(axis=0)).max() < 0.25
+    emp = np.cov(flat.T)
+    assert np.max(np.abs(emp - cov) / (np.abs(cov) + 0.2)) < 0.5
+    assert float(np.mean(info["diverging"])) < 0.01
+
+
 @pytest.mark.parametrize("sampler", ["chees", "shmc"])
 def test_adaptive_sampler_batch_smoke(sampler):
     freq, Zb = load_batch(b=2)
