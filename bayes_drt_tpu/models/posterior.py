@@ -167,6 +167,13 @@ def init_unconstrained(cfg: PosteriorConfig, data: PosteriorData, key,
                     u0 = jnp.log(jnp.clip(x0, 1e-10, None))
                     params[key_i] = u0 - jnp.log(ups_i) if cfg.ncp else u0
                 else:
+                    # exact zeros (active-set QP ridge inits) sit on the
+                    # sqrt penalty's non-differentiable point -> NaN
+                    # gradient at the very first L-BFGS step; nudge to a
+                    # tiny interior value (cvxopt's interior-point ridge,
+                    # which the reference inits from, never returns exact
+                    # zeros)
+                    x0 = jnp.where(x0 == 0.0, 1e-8, x0)
                     params[key_i] = x0 / ups_i if cfg.ncp else x0
         if "sigma_out_raw" in iv and cfg.outliers:
             params["sigma_out_raw"] = jnp.log(jnp.clip(jnp.asarray(iv["sigma_out_raw"]),

@@ -221,6 +221,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       outliers: bool = False,
                       chains: int = 4, warmup: int = 500, samples: int = 500,
                       max_iter: int = 2000, n_restarts: int = 2,
+                      init_from_ridge: bool = False,
+                      ridge_kw: Optional[dict] = None,
                       random_seed: int = 0, mesh: Optional[Mesh] = None,
                       max_tree_depth: int = 10, dtype=None,
                       distributions=None, precondition: Optional[str] = None,
@@ -260,6 +262,15 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     fit's final positions with its adapted per-chain metric held fixed
     (step size re-adapts), so a chained refit of slowly-evolving spectra
     (streaming/time-series serving) needs only a small ``warmup``.
+
+    ``init_from_ridge`` (optimize mode, single series DRT): seed every
+    spectrum's L-BFGS from a batched hyper-lambda ridge solution (ONE run
+    from the init instead of ``n_restarts`` random restarts — the
+    single-spectrum ``Inverter.fit(init_from_ridge=True)`` semantics,
+    reference: inversion.py:1616-1682). With ``outliers=True``, spectra
+    rows whose ridge residual exceeds 3 standard deviations seed
+    ``sigma_out`` high (z-score variant of the reference's IQR check).
+    ``ridge_kw`` overrides the underfitted-ridge defaults.
     """
     Z_batch = np.asarray(Z_batch)
     Z_batch, b_real = _pad_pow2(Z_batch)
@@ -271,6 +282,14 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         nonneg=nonneg, dtype=dtype, distributions=distributions,
         ncp=ncp and mode == "sample", basis=basis, outliers=outliers)
     n_dists = len(cfg.dists)
+
+    if init_from_ridge:
+        if mode != "optimize":
+            raise ValueError("init_from_ridge is supported for "
+                             "mode='optimize' batches")
+        if n_dists > 1 or cfg.dists[0].dist_type != "series":
+            raise ValueError("Ridge initialization can only be performed "
+                             "for single series-distribution fits")
 
     # per-spectrum scaling, including the calibrated Ystar admittance-std
     # targets for a single parallel planar DDT
@@ -384,18 +403,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             raise ValueError(f"Unknown sampler {sampler!r}; options are "
                              "'nuts', 'chees', 'shmc'")
     else:
-        def fit_one(target, skey, dat):
-            logp = logp_for(dat, target)
-            loss = lambda q: -logp(q)
-
-            def one_restart(rkey):
-                p0 = init_unconstrained(cfg, dat._replace(target=target), rkey)
-                q0, _ = ravel_pytree(jax.tree.map(lambda a: a.astype(dtype), p0))
-                return run_lbfgs(loss, q0, max_iter=max_iter)
-
-            res = jax.vmap(one_restart)(jax.random.split(skey, n_restarts))
-            best = jnp.argmin(jnp.where(jnp.isfinite(res.value), res.value, jnp.inf))
-            q_best = res.params[best]
+        def _map_out(dat, q_best, value, n_iter):
             c = constrain(cfg, dat, unravel(q_best))
             out = {
                 "coef": c["x_0"],
@@ -403,14 +411,56 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 "coef_hi": c["x_0"],
                 "r_inf": c["Rinf"],
                 "induc": c["induc"],
-                "value": res.value[best],
-                "n_iter": res.n_iter[best].astype(jnp.float32),
+                "value": value,
+                "n_iter": n_iter.astype(jnp.float32),
             }
             for i in range(1, n_dists):
                 out[f"coef_{i}"] = c[f"x_{i}"]
             return out
 
-        prog_extra = (n_restarts, max_iter)
+        if init_from_ridge:
+            # one L-BFGS run from the batched ridge solution (the
+            # single-spectrum init_from_ridge semantics,
+            # reference: inversion.py:1616-1682); iv arrays are computed
+            # host-side below and routed through vmapped jit arguments
+            def fit_one(target, skey, *args):
+                if outliers:
+                    iv_x, iv_rinf, iv_induc, iv_sig, dat = args
+                else:
+                    iv_x, iv_rinf, iv_induc, dat = args
+                    iv_sig = None
+                iv = {"x_0": iv_x, "Rinf_raw": iv_rinf, "induc_raw": iv_induc}
+                if iv_sig is not None:
+                    iv["sigma_out_raw"] = iv_sig
+                logp = logp_for(dat, target)
+                loss = lambda q: -logp(q)
+                p0 = init_unconstrained(cfg, dat._replace(target=target),
+                                        skey, init_values=iv)
+                q0, _ = ravel_pytree(
+                    jax.tree.map(lambda a: a.astype(dtype), p0))
+                res = run_lbfgs(loss, q0, max_iter=max_iter)
+                return _map_out(dat, res.params, res.value, res.n_iter)
+
+            prog_extra = ("ridge-init", bool(outliers), max_iter)
+        else:
+            def fit_one(target, skey, dat):
+                logp = logp_for(dat, target)
+                loss = lambda q: -logp(q)
+
+                def one_restart(rkey):
+                    p0 = init_unconstrained(cfg, dat._replace(target=target),
+                                            rkey)
+                    q0, _ = ravel_pytree(
+                        jax.tree.map(lambda a: a.astype(dtype), p0))
+                    return run_lbfgs(loss, q0, max_iter=max_iter)
+
+                res = jax.vmap(one_restart)(jax.random.split(skey, n_restarts))
+                best = jnp.argmin(jnp.where(jnp.isfinite(res.value),
+                                            res.value, jnp.inf))
+                return _map_out(dat, res.params[best], res.value[best],
+                                res.n_iter[best])
+
+            prog_extra = (n_restarts, max_iter)
 
     base_key = ("fit_spectra_batch", mode, cfg, data_shapes(data),
                 prog_extra, mesh)
@@ -611,10 +661,48 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         if mode == "sample":
             shared_args = (data, phi_mon_j, phi_eval_j)
             fit_in_axes = (0, 0, None, None, None)
+        elif init_from_ridge:
+            # ---- host-side batched underfitted-ridge init pass ----
+            rdefaults = dict(penalty="integral", hyper_lambda=True,
+                             lambda_0=1.0, hl_beta=5, weights="modulus")
+            rdefaults.update(ridge_kw or {})
+            rres = ridge_fit_spectra_batch(
+                frequencies, Z_batch, basis_freq=basis_freq, epsilon=epsilon,
+                basis=basis, **rdefaults)
+            if rres.coef.shape[1] != cfg.dists[0].K:
+                raise ValueError(
+                    f"ridge init basis ({rres.coef.shape[1]}) does not match "
+                    f"the fit basis ({cfg.dists[0].K})")
+            # into the MAP's scaled coordinates (constrain() applies the
+            # Rinf*100 / induc*scale transforms; init_unconstrained's iv
+            # contract expects the pre-transform values)
+            iv_x = rres.coef / z_scales[:, None]
+            iv_rinf = np.maximum(rres.r_inf / z_scales, 1e-10) / 100.0
+            iv_induc = np.maximum(rres.inductance / z_scales, 1e-10)
+            extra_args = (jnp.asarray(iv_x, dtype),
+                          jnp.asarray(iv_rinf, dtype),
+                          jnp.asarray(iv_induc, dtype))
+            if outliers:
+                n_f = len(np.asarray(data.freq))
+                rv = np.concatenate([np.ones(n_f), np.zeros(n_f)])
+                lv = np.concatenate([np.zeros(n_f),
+                                     2.0 * np.pi * np.asarray(data.freq)])
+                zhat = (iv_x @ np.asarray(data.A[0]).T
+                        + (iv_rinf * 100.0)[:, None] * rv[None, :]
+                        + iv_induc[:, None] * lv[None, :])
+                resid = np.asarray(targets) - zhat
+                sig = resid.std(axis=1, keepdims=True) + 1e-12
+                flag = ((np.abs(resid[:, :n_f]) > 3 * sig)
+                        | (np.abs(resid[:, n_f:]) > 3 * sig))
+                iv_sig = np.where(flag, 1.0, 0.1)
+                extra_args = extra_args + (jnp.asarray(iv_sig, dtype),)
+            shared_args = (data,)
+            fit_in_axes = (0, 0) + (0,) * len(extra_args) + (None,)
+            prog_key = base_key
         else:
             shared_args = (data,)
             fit_in_axes = (0, 0, None)
-        prog_key = base_key
+            prog_key = base_key
 
     def build_fit():
         fn = jax.vmap(fit_one, in_axes=fit_in_axes)

@@ -33,6 +33,33 @@ def test_batched_map_recovers_all_spectra():
     assert np.abs(res.r_inf - 1.0).max() < 0.1, res.r_inf
 
 
+def test_batched_map_init_from_ridge():
+    """Batched MAP seeded from a batched hyper-lambda ridge pass (ONE
+    L-BFGS run per spectrum — the single-spectrum init_from_ridge
+    semantics, reference: inversion.py:1616-1682)."""
+    freq, Zb = load_batch(b=4)
+    res = fit_spectra_batch(freq, Zb, mode="optimize", max_iter=1500,
+                            init_from_ridge=True, random_seed=0)
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g = evaluate_gamma(res, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse = np.sqrt(np.mean((g - gt["gamma"].values[None, :]) ** 2, axis=1))
+    assert (rmse < 0.08 * rp).all(), rmse
+    assert np.abs(res.r_inf - 1.0).max() < 0.1, res.r_inf
+    # outlier variant: ridge residual z-scores seed sigma_out
+    res_o = fit_spectra_batch(freq, Zb, mode="optimize", max_iter=800,
+                              init_from_ridge=True, outliers=True,
+                              random_seed=0)
+    assert np.isfinite(res_o.coef).all()
+    # unsupported combinations fail loudly
+    with pytest.raises(ValueError, match="optimize"):
+        fit_spectra_batch(freq, Zb, mode="sample", init_from_ridge=True)
+    with pytest.raises(ValueError, match="series"):
+        fit_spectra_batch(
+            freq, Zb, mode="optimize", init_from_ridge=True,
+            distributions={"DDT": {"kernel": "DDT", "dist_type": "parallel"}})
+
+
 def test_batched_map_sharded_mesh_matches_unsharded():
     freq, Zb = load_batch(b=8)
     mesh = make_mesh(8)
