@@ -41,7 +41,16 @@ def run_lbfgs(loss_fn: Callable, x0, max_iter: int = 4000, tol: float = 1e-8,
     Stops on gradient infinity norm < tol (Stan's tol_grad analogue) or
     relative objective stagnation below ``ftol_rel`` (Stan's tol_rel_obj
     analogue).
+
+    Both tolerances are floored at a multiple of the iterate dtype's
+    machine eps: the f64-calibrated defaults are unreachable in float32,
+    where they silently turn the while_loop into a fixed ``max_iter``-
+    iteration burn on TPU (the same f32-tolerance bug class as the box-QP
+    KKT tolerance).
     """
+    eps = jnp.finfo(jax.tree.leaves(x0)[0].dtype).eps
+    tol = jnp.maximum(tol, 50.0 * eps)
+    ftol_rel = jnp.maximum(ftol_rel, 10.0 * eps)
     opt = optax.lbfgs(
         memory_size=memory_size,
         linesearch=optax.scale_by_zoom_linesearch(

@@ -56,6 +56,15 @@ def main():
          lambda seed: fit_spectra_batch(freq, Zb, mode="optimize",
                                         max_iter=2000, n_restarts=2,
                                         random_seed=seed)),
+        # config 3 production variant: ONE L-BFGS run seeded from a batched
+        # hyper-lambda ridge pass (init_from_ridge). CPU quality study:
+        # cap=1500 matches the 2x2000 random-restart quality (B=8 rmse/Rp
+        # mean 0.0094 vs 0.0086, max 0.0135 vs 0.0139) at 37% of the
+        # L-BFGS work.
+        ("map-ridge-init", 2.0,
+         lambda seed: fit_spectra_batch(freq, Zb, mode="optimize",
+                                        max_iter=1500, init_from_ridge=True,
+                                        random_seed=seed)),
         # config 4: HMC with the outlier error model (Tutorial 3's error
         # structure on the standard workload; ref anchor = the 12-18 s
         # outlier-model MAP row scaled by the 81.1/2.0 HMC/MAP ratio of
@@ -90,7 +99,10 @@ def main():
                                         nonneg=True, distributions=dists,
                                         **shmc)))
 
+    only = set(sys.argv[1:])
     for name, ref_sec, run in configs:
+        if only and name not in only:
+            continue
         t0 = time.time()
         run(0)
         print(f"[{name}] prime {time.time()-t0:.1f}s", file=sys.stderr,
