@@ -658,6 +658,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         fit_in_axes = (0, 0, 0, None, None, None, None, None)
         prog_key = base_key + ("pooled-main", main_cfg, main_warmup, samples)
     else:
+        prog_key = base_key
         if mode == "sample":
             shared_args = (data, phi_mon_j, phi_eval_j)
             fit_in_axes = (0, 0, None, None, None)
@@ -698,11 +699,9 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 extra_args = extra_args + (jnp.asarray(iv_sig, dtype),)
             shared_args = (data,)
             fit_in_axes = (0, 0) + (0,) * len(extra_args) + (None,)
-            prog_key = base_key
         else:
             shared_args = (data,)
             fit_in_axes = (0, 0, None)
-            prog_key = base_key
 
     def build_fit():
         fn = jax.vmap(fit_one, in_axes=fit_in_axes)
