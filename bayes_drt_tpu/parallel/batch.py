@@ -273,6 +273,11 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     ``ridge_kw`` overrides the underfitted-ridge defaults.
     """
     Z_batch = np.asarray(Z_batch)
+    # matrices are built at DESCENDING frequencies (_build_shared); reorder
+    # the data columns to match so ascending instrument exports fit correctly
+    order = np.argsort(np.asarray(frequencies, float))[::-1]
+    frequencies = np.asarray(frequencies, float)[order]
+    Z_batch = Z_batch[:, order]
     Z_batch, b_real = _pad_pow2(Z_batch)
     b, n = Z_batch.shape
     if dtype is None:
@@ -1197,11 +1202,14 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     supported, and under a ``mesh`` the batch is physically partitioned
     (out_shardings + diagnostics['shard_layout'] proof)."""
     Z_batch = np.asarray(Z_batch)
+    # reorder data columns to the descending-frequency matrix convention
+    f_order = np.argsort(np.asarray(frequencies, float))[::-1]
+    frequencies = np.asarray(frequencies, float)[f_order]
+    Z_batch = Z_batch[:, f_order]
     Z_batch, b_real = _pad_pow2(Z_batch)
     b, n = Z_batch.shape
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    frequencies = np.sort(np.asarray(frequencies, float))[::-1]
     if basis_freq is None:
         tau = get_tau_basis(frequencies)
     else:

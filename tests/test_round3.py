@@ -366,3 +366,45 @@ def test_inverter_fit_shmc_sampler():
     assert inv.sample_diagnostics["divergence_rate"] < 0.02
     with pytest.raises(ValueError, match="Unknown sampler"):
         inv.fit(freq, Z, mode="sample", sampler="bogus")
+
+
+def test_batch_apis_accept_ascending_frequencies():
+    """Instrument exports often store frequencies ascending; the batch APIs
+    build matrices at DESCENDING frequencies, so the data columns must be
+    reordered to match (regression: they previously were not, silently
+    misaligning every fit of ascending input)."""
+    freq, Zb = load_batch(b=2)
+    order = np.argsort(freq)            # ascending permutation
+    f_asc, Z_asc = freq[order], Zb[:, order]
+
+    r_desc = ridge_fit_spectra_batch(freq, Zb, hyper_lambda=False)
+    r_asc = ridge_fit_spectra_batch(f_asc, Z_asc, hyper_lambda=False)
+    np.testing.assert_allclose(r_asc.coef, r_desc.coef, rtol=1e-10)
+    np.testing.assert_allclose(r_asc.r_inf, r_desc.r_inf, rtol=1e-10)
+
+    m_desc = fit_spectra_batch(freq, Zb, mode="optimize", n_restarts=1,
+                               max_iter=60, random_seed=0)
+    m_asc = fit_spectra_batch(f_asc, Z_asc, mode="optimize", n_restarts=1,
+                              max_iter=60, random_seed=0)
+    # identical program + identical (reordered) inputs => identical output
+    np.testing.assert_array_equal(m_asc.coef, m_desc.coef)
+
+
+def test_batch_ridge_f32_real_instrument_spectrum():
+    """Regression: the PDAC ZPlot spectrum (|Z| spanning 1.4e3..1e7 ohms)
+    NaN'd the f32 batch ridge outright — cond(P) ~6e13 before the QP's
+    Jacobi equilibration existed. Must stay finite and converged in f32
+    (the TPU serving dtype)."""
+    import jax.numpy as jnp
+    from bayes_drt_tpu.native import load_eis_file
+    freq, Z = load_eis_file(
+        "/root/reference/data/experimental/"
+        "PDAC_COM3_02109_Contact10_2065C_500C.txt")
+    res = ridge_fit_spectra_batch(freq, Z[None, :], dtype=jnp.float32)
+    assert np.isfinite(res.coef).all()
+    assert np.asarray(res.diagnostics["converged"]).all()
+    # reconstruction sanity: Rp within 2x of the f64 fit
+    rp32 = np.trapezoid(res.coef[0], np.log(res.tau))
+    r64 = ridge_fit_spectra_batch(freq, Z[None, :], dtype=jnp.float64)
+    rp64 = np.trapezoid(r64.coef[0], np.log(r64.tau))
+    assert 0.5 < rp32 / rp64 < 2.0, (rp32, rp64)
