@@ -80,12 +80,36 @@ def solve_qp_box(P, q, lb, ub, max_iter: int = 100, tol: float = 1e-10,
     lb = jnp.broadcast_to(jnp.asarray(lb, dtype=dtype), (k,))
     ub = jnp.broadcast_to(jnp.asarray(ub, dtype=dtype), (k,))
 
+    # Jacobi equilibration: solve in x = d*y coordinates where P has unit
+    # diagonal. The normal matrices this solver sees mix columns of wildly
+    # different scale (e.g. the inductance column times modulus weights on a
+    # wide-dynamic-range spectrum puts cond(P) ~ 1e12+, which NaNs the f32
+    # Cholesky outright — found driving real PDAC instrument data). Scaling
+    # is exact for the active-set logic (bounds scale by 1/d, gradients by
+    # d, boolean sets unchanged); kkt_violation is reported in the ORIGINAL
+    # coordinates.
+    diag = jnp.diagonal(P)
+    d = jnp.where(diag > jnp.finfo(dtype).tiny, 1.0 / jnp.sqrt(diag), 1.0)
+    P_orig, q_orig = P, q
+    P = d[:, None] * P * d[None, :]
+    P = 0.5 * (P + P.T)                 # GEMM accumulation breaks symmetry
+    machine = jnp.finfo(dtype).eps
+    if dtype == jnp.float32:
+        # f32 GEMM roundoff leaves the equilibrated matrix numerically
+        # indefinite when cond exceeds ~1/eps_f32 (the PDAC spectrum hits
+        # cond ~6e7); a 100*eps unit-diagonal jitter restores positive
+        # definiteness while perturbing the solution below f32 solve
+        # accuracy. f64 stays exact.
+        P = P + (100.0 * machine) * jnp.eye(k, dtype=dtype)
+    q = d * q
+    lb = lb / d
+    ub = ub / d
+
     scale = jnp.maximum(jnp.max(jnp.abs(q)), 1.0)
     # floor the tolerance at the dtype's resolution: the float64 default
     # (1e-10) is UNREACHABLE in float32 — the violation count then never
     # hits zero and the loop burns its whole max_iter budget (measured on
     # TPU: a 14-iteration solve ran 2000 iterations, 20x the wall-clock)
-    machine = jnp.finfo(dtype).eps
     tol_eff = jnp.maximum(jnp.asarray(tol, dtype), 50.0 * machine)
     tol_p = tol_eff
     tol_d = tol_eff * scale
@@ -138,9 +162,9 @@ def solve_qp_box(P, q, lb, ub, max_iter: int = 100, tol: float = 1e-10,
             jnp.asarray(k + 1, jnp.int32), jnp.asarray(False))
     at_lb, at_ub, x, it, _, done = jax.lax.while_loop(cond, body, init)
 
-    x = jnp.clip(x, lb, ub)
-    g = P @ x + q
     free = (x > lb + tol_p) & (x < ub - tol_p)
+    x = jnp.clip(x, lb, ub) * d            # back to original coordinates
+    g = P_orig @ x + q_orig
     kkt = jnp.max(jnp.where(free, jnp.abs(g), 0.0))
     return QPResult(x=x, n_iter=it, kkt_violation=kkt, converged=done,
                     at_lb=at_lb, at_ub=at_ub)

@@ -226,7 +226,10 @@ def _lambda_step(cfg: HyperLambdaConfig, data: RidgeData, state: HyperLambdaStat
 
     def per_order(n, lam_prev):
         if cfg.penalty == "integral":
-            factor = jnp.asarray([100.0, 10.0, 1.0])[n]
+            # plain Python float (weak-typed): a jnp.asarray literal here is
+            # strong float64 under x64 and silently promotes the whole
+            # while_loop carry when the caller requested float32
+            factor = (100.0, 10.0, 1.0)[n]
             lv = hyper_lambda_integral(data.L2_base[n], factor * coef_eff,
                                        lam_prev, hyper_beta[n], hyper_lam0[n])
             return jnp.clip(lv, 1e-15, None)

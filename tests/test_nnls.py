@@ -90,3 +90,26 @@ def test_ill_conditioned_rbf_like(rng):
     def obj(v):
         return 0.5 * v @ P @ v + q @ v
     assert obj(x) <= obj(x_ref) + 1e-6 * abs(obj(x_ref)) + 1e-12
+
+
+def test_f32_extreme_column_scaling(rng):
+    """Regression: a wide-dynamic-range spectrum (real PDAC instrument data)
+    produces normal matrices with cond ~1e12+ whose f32 Cholesky NaN'd
+    outright — and the NaN masqueraded as instant 'convergence' (no
+    violations). Jacobi equilibration + f32 diagonal jitter fix it; this
+    synthetic QP reproduces the failure shape."""
+    A, b, P, q = make_ls_qp(rng, n=80, k=50, reg=1e-10)
+    # column scales spanning 6 orders of magnitude, like the weighted
+    # inductance column vs unit-scale RBF columns
+    s = np.logspace(-3, 3, 50)
+    P = s[:, None] * P * s[None, :]
+    q = s * q
+    r = solve_nnls(jnp.asarray(P, jnp.float32), jnp.asarray(q, jnp.float32))
+    x = np.asarray(r.x)
+    assert np.isfinite(x).all()
+    assert bool(r.converged)
+    # solution matches the f64 solve in well-determined coordinates
+    x64 = np.asarray(solve_nnls(jnp.asarray(P), jnp.asarray(q)).x)
+    def obj(v):
+        return 0.5 * v @ P @ v + q @ v
+    assert obj(x) <= obj(x64) + 1e-4 * abs(obj(x64))
