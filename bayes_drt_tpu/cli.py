@@ -13,7 +13,11 @@ Outputs, per input file `<stem>`:
   <out>/Gout_<stem>.csv   — tau, gamma [, gamma_lo, gamma_hi]  (the
                             reference's bayes_results/map_results format)
 and one `<out>/summary.csv` with per-spectrum offsets (R_inf, inductance),
-Rp, and sampling diagnostics (min-ESS, logp split-Rhat, divergence rate).
+Rp, reconstruction quality (median relative Z residual), and sampling
+diagnostics (min-ESS, logp split-Rhat, divergence rate). Unparseable files
+are skipped (status column records the error). `--peaks` additionally fits
+HN peaks to each recovered distribution (`Peaks_<stem>.csv`, the
+reference's peak-fit workflow, peak_fit.py:76-128).
 """
 
 from __future__ import annotations
@@ -81,6 +85,9 @@ def _fit_parser(sub):
                    help="points in the output tau grid")
     p.add_argument("--mesh", action="store_true",
                    help="shard each batch over all visible devices")
+    p.add_argument("--peaks", action="store_true",
+                   help="also fit HN peaks to each recovered distribution "
+                        "(writes Peaks_<stem>.csv and a n_peaks column)")
     p.set_defaults(func=cmd_fit)
     return p
 
@@ -95,12 +102,20 @@ def cmd_fit(args):
         print("no input files matched", file=sys.stderr)
         return 2
     os.makedirs(args.out, exist_ok=True)
-    buckets = load_spectra(files)
-    print(f"{len(files)} spectra in {len(buckets)} frequency-grid "
+    failed = []
+    buckets = load_spectra(files, skip_errors=True, failed=failed)
+    for path, err in failed:
+        print(f"SKIP {path}: {err}", file=sys.stderr)
+    n_loaded = sum(len(b["paths"]) for b in buckets)
+    print(f"{n_loaded}/{len(files)} spectra in {len(buckets)} frequency-grid "
           f"bucket(s)", file=sys.stderr)
+    if not buckets:
+        print("no spectra loaded", file=sys.stderr)
+        return 2
     mesh = make_mesh() if args.mesh else None
 
-    rows = []
+    rows = [{"file": os.path.basename(p), "status": f"load_error: {err}"}
+            for p, err in failed]
     for bi, bucket in enumerate(buckets):
         freq, Zb, paths = bucket["freq"], bucket["Z"], bucket["paths"]
         tau_eval = _eval_tau(_basis_tau(freq), args.eval_points)
@@ -135,6 +150,7 @@ def cmd_fit(args):
             lo = res.diagnostics["gamma_eval_lo"]
             hi = res.diagnostics["gamma_eval_hi"]
         ln_tau = np.log(tau_eval)
+        resid = _median_rel_residuals(freq, Zb, res)
 
         import pandas as pd
         for i, path in enumerate(paths):
@@ -145,12 +161,15 @@ def cmd_fit(args):
                 cols["gamma_hi"] = hi[i]
             pd.DataFrame(cols).to_csv(
                 os.path.join(args.out, f"Gout_{stem}.csv"), index=False)
+            rp = float(np.trapezoid(gammas[i], ln_tau))
             row = {
                 "file": os.path.basename(path),
+                "status": "ok",
                 "mode": args.mode,
                 "R_inf": float(res.r_inf[i]),
                 "inductance": float(res.inductance[i]),
-                "Rp": float(np.trapezoid(gammas[i], ln_tau)),
+                "Rp": rp,
+                "median_rel_resid": float(resid[i]),
                 "fit_seconds_bucket": round(elapsed, 3),
                 "bucket": bi,
             }
@@ -159,6 +178,19 @@ def cmd_fit(args):
                 row["min_ess"] = float(d["min_ess"][i])
                 row["logp_split_rhat"] = float(d["logp_rhat"][i])
                 row["divergence_rate"] = float(d["divergence_rate"][i])
+            if args.peaks:
+                from .peaks import evaluate_fit_distribution, fit_peaks
+                px = np.asarray(fit_peaks(tau_eval, gammas[i], rp))
+                pd.DataFrame({
+                    "R": px[0::4], "tau0": np.exp(px[1::4]),
+                    "alpha": px[2::4], "beta": px[3::4],
+                }).to_csv(os.path.join(args.out, f"Peaks_{stem}.csv"),
+                          index=False)
+                row["n_peaks"] = len(px) // 4
+                g_fit = np.asarray(evaluate_fit_distribution(px, tau_eval))
+                gmax = max(float(np.abs(gammas[i]).max()), 1e-30)
+                row["peak_fit_rmse_rel"] = float(
+                    np.sqrt(np.mean((g_fit - gammas[i]) ** 2)) / gmax)
             rows.append(row)
         print(f"bucket {bi}: {len(paths)} spectra x {len(freq)} freqs "
               f"fit in {elapsed:.2f}s ({args.mode})", file=sys.stderr)
@@ -174,6 +206,25 @@ def cmd_fit(args):
 def _basis_tau(frequencies):
     from .ops.matrices import get_tau_basis
     return get_tau_basis(np.sort(np.asarray(frequencies, float))[::-1])
+
+
+def _median_rel_residuals(frequencies, Z_batch, res):
+    """Per-spectrum median |Z_hat - Z| / |Z| of the fitted batch — the
+    reconstruction-quality column of summary.csv. Reconstruction uses the
+    point-estimate coefficients (posterior mean in sample mode)."""
+    from .ops.matrices import construct_A
+    order = np.argsort(np.asarray(frequencies, float))[::-1]
+    freq = np.asarray(frequencies, float)[order]
+    z = np.asarray(Z_batch)[:, order]
+    A_re = np.asarray(construct_A(freq, "real", tau=res.tau,
+                                  basis=res.basis, epsilon=res.epsilon))
+    A_im = np.asarray(construct_A(freq, "imag", tau=res.tau,
+                                  basis=res.basis, epsilon=res.epsilon))
+    z_hat = (res.r_inf[:, None] + res.coef @ A_re.T
+             + 1j * (2 * np.pi * freq[None, :] * res.inductance[:, None]
+                     + res.coef @ A_im.T))
+    return np.median(np.abs(z_hat - z) / np.maximum(np.abs(z), 1e-300),
+                     axis=1)
 
 
 def main(argv=None):

@@ -91,15 +91,29 @@ def load_eis_file(path):
     return _load_one_native(lib, path)
 
 
-def load_spectra(paths, rel_tol: float = 1e-8):
+def load_spectra(paths, rel_tol: float = 1e-8, skip_errors: bool = False,
+                 failed=None):
     """Load many spectra and bucket them by (rounded) frequency grid.
 
     Returns a list of buckets: dicts with keys ``freq`` (N,), ``Z`` (B, N)
     and ``paths`` — each bucket ready for fit_spectra_batch.
+
+    ``skip_errors``: skip files that fail to parse instead of raising (a
+    directory sweep should not die on one corrupt export); each skipped
+    (path, error-string) pair is appended to the ``failed`` list if given.
     """
     buckets = {}
     for path in paths:
-        freq, Z = load_eis_file(path)
+        try:
+            freq, Z = load_eis_file(path)
+            if len(freq) == 0:
+                raise ValueError("no data rows parsed")
+        except Exception as e:              # noqa: BLE001 — report per file
+            if not skip_errors:
+                raise
+            if failed is not None:
+                failed.append((path, f"{type(e).__name__}: {e}"))
+            continue
         key = (len(freq), tuple(np.round(np.log10(np.abs(freq) + 1e-300), 8)))
         b = buckets.setdefault(key, {"freq": freq, "Z": [], "paths": []})
         b["Z"].append(Z)

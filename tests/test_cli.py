@@ -86,3 +86,36 @@ def test_cli_optimize_single_file(data_dir, tmp_path):
 
 def test_cli_no_match(tmp_path):
     assert main(["fit", str(tmp_path), "--pattern", "*.nope"]) == 2
+
+
+def test_cli_skips_unparseable_file(data_dir, tmp_path):
+    bad = tmp_path / "corrupt.csv"
+    bad.write_text("this is not a spectrum\x00\x01")
+    out = tmp_path / "out_skip"
+    rc = main(["fit", str(data_dir / "spec_0.csv"), str(bad),
+               "--out", str(out), "--mode", "ridge"])
+    assert rc == 0
+    summary = pd.read_csv(out / "summary.csv")
+    assert len(summary) == 2
+    bad_row = summary[summary["file"] == "corrupt.csv"]
+    assert bad_row["status"].iloc[0].startswith("load_error")
+    ok = summary[summary["file"] == "spec_0.csv"]
+    assert ok["status"].iloc[0] == "ok"
+    # reconstruction-quality column present and tight on the good fit
+    assert float(ok["median_rel_resid"].iloc[0]) < 0.02
+
+
+def test_cli_peak_fitting(data_dir, tmp_path):
+    out = tmp_path / "out_peaks"
+    rc = main(["fit", str(data_dir / "spec_0.csv"), "--out", str(out),
+               "--mode", "ridge", "--peaks"])
+    assert rc == 0
+    summary = pd.read_csv(out / "summary.csv")
+    assert int(summary["n_peaks"].iloc[0]) >= 1
+    assert float(summary["peak_fit_rmse_rel"].iloc[0]) < 0.15
+    peaks = pd.read_csv(out / "Peaks_spec_0.csv")
+    assert list(peaks.columns) == ["R", "tau0", "alpha", "beta"]
+    # the ZARC's dominant peak: tau0 near 1e-3 s, R near Rp=1
+    top = peaks.iloc[peaks["R"].abs().idxmax()]
+    assert 0.6 < top["R"] < 1.4
+    assert 1e-4 < top["tau0"] < 1e-2
