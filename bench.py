@@ -2,17 +2,27 @@
 
 Workload: B simulated ZARC spectra (N=81 frequencies, K=101 basis functions,
 the reference's standard problem size), each fit with full-budget sampling —
-4 chains x (250 warmup + 250 draws) — in ONE XLA program vmapped over
-spectra and chains. Configuration (each choice measured back-to-back on the
-TPU with a repeated baseline; see benchmarks/ab_sampler.py):
+4 chains x (150 warmup + 250 retained draws) — in ONE XLA program vmapped
+over spectra and chains. Configuration (each choice measured back-to-back on
+the TPU with a repeated baseline; see benchmarks/ab_sampler.py and
+benchmarks/sweep_{warmup,warmup2,batch,final_r3}.py):
 
 - sampler: synchronous static multinomial HMC (sample_shmc) — every draw of
   every chain runs the same static-scan trajectory (Betancourt's static
   multinomial scheme), so the vmapped batch never waits on a straggler and
-  none of NUTS' per-leaf tree bookkeeping is paid. n_steps=48 matches
-  NUTS-md5 tree_scan on every quality axis (A/B: rmse 0.70 vs 0.70 %Rp,
-  p90 1.7 vs 1.9, coverage 0.956 vs 0.965, min-ESS equal, divergences 0
-  vs 0.2%) at ~1.2x its throughput; warmup draws (discarded) run 32 steps.
+  none of NUTS' per-leaf tree bookkeeping is paid. n_steps=44 at
+  warmup=150 beats NUTS-md5 tree_scan AND the round-3-initial n48/w250
+  config on every quality axis (sweep_final_r3: coverage 0.978 vs 0.959,
+  logp-Rhat 2.33 vs 3.14, ESS/sec 1252 vs 947) at 1.27x the throughput;
+  warmup draws (discarded) run 32 steps.
+- warmup=150: sampling runs at the MIN of per-chain adapted step sizes, and
+  LONGER warmup gives some chain more chances to freeze a too-small eps
+  that drags every chain's mixing down (sweep_warmup: w150 beats w250 on
+  every quality axis). Divergent legs are never multinomial-selected, so
+  the higher raw divergence count costs only wasted trajectory.
+- B=1024: throughput is flat in batch size (sweep_batch: the device is
+  throughput-bound at B=512 already), but 1024 amortizes per-run overheads
+  for ~+5%.
 - non-centered parameterization (ncp=True): identical posterior, ~3x lower
   recovery error at this budget
 - full-float32 matmuls (progcache.precise_matmuls): TPU bf16 MXU defaults
@@ -25,8 +35,10 @@ runs is reported — the steady-state rate a batch service sees.
 
 Baseline: the reference fits ONE spectrum with Stan NUTS at 4 chains x
 (500+500) in 515.5 s on CPU (BASELINE.md, code_EchemActa/"Run fits.ipynb"
-4x1000 cell). HMC cost is linear in draws, so at this benchmark's 4x500
-budget the reference throughput is 60/257.75 spectra/min.
+4x1000 cell). HMC cost is linear in total iterations, so the reference is
+scaled to THIS benchmark's warmup+draws budget (4 x 400 iterations:
+515.5 x 400/1000 = 206.2 s/spectrum) — cutting our warmup does not
+inflate the vs_baseline multiplier.
 
 Prints one JSON line:
   {"metric": ..., "value": spectra/min, "unit": "spectra/min",
@@ -52,13 +64,14 @@ import numpy as np
 import pandas as pd
 
 
-B = 512
+B = 1024
 CHAINS = 4
-WARMUP = 250
+WARMUP = 150
 SAMPLES = 250
-N_STEPS = 48
+N_STEPS = 44
 WARM_STEPS = 32
-BASELINE_SEC_PER_SPECTRUM = 515.5 / 2.0   # reference 4x1000 scaled to 4x500
+# reference 4x1000 scaled to this benchmark's 4x(WARMUP+SAMPLES) budget
+BASELINE_SEC_PER_SPECTRUM = 515.5 * (WARMUP + SAMPLES) / 1000.0
 
 GATE_RMSE = 0.03          # of Rp, batch mean
 GATE_P90 = 0.05           # of Rp, per-spectrum p90
@@ -125,7 +138,7 @@ def main():
     spectra_per_min = B / (elapsed / 60.0)
     baseline_throughput = 60.0 / BASELINE_SEC_PER_SPECTRUM
     result = {
-        "metric": "batched HMC DRT inversion throughput (4 chains x 500 HMC iter/spectrum, N=81, K=101)",
+        "metric": "batched HMC DRT inversion throughput (4 chains x (150 warmup + 250 draws)/spectrum, N=81, K=101; reference baseline scaled to the same budget)",
         "value": round(spectra_per_min, 2),
         "unit": "spectra/min",
         "vs_baseline": round(spectra_per_min / baseline_throughput, 1),
