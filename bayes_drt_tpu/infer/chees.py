@@ -95,6 +95,20 @@ def _adam_update(st: _AdamState, grad, lr, b1=0.9, b2=0.999, eps=1e-8):
     return _AdamState(m=m, v=v, t=t), step
 
 
+def _pool_eps(eps_chains, cfg):
+    """Pool per-chain adapted step sizes into the one sampling-phase eps.
+
+    Default (eps_quantile=0) is the conservative min — a chain that
+    warmed up in a mild region would otherwise freeze a too-large eps and
+    diverge all sampling. A quantile > 0 runs above the most timid chain:
+    divergent legs are never multinomial-selected, so the cost is wasted
+    trajectory, while every other chain mixes at a less-crippled eps."""
+    q = getattr(cfg, "eps_quantile", 0.0)
+    if q <= 0.0:
+        return eps_chains.min()
+    return jnp.quantile(eps_chains, q)
+
+
 def _halton2(total: int) -> np.ndarray:
     """Van der Corput base-2 sequence in (0, 1): the shared quasi-random
     trajectory jitter (same role as the paper's Halton schedule)."""
@@ -424,6 +438,13 @@ class SHMCConfig(NamedTuple):
                                   # gradient evals for n_steps fewer (C, D)
                                   # selects. Same posterior; draws differ
                                   # only by float re-association.
+    eps_quantile: float = 0.0     # sampling-phase step size = this quantile
+                                  # of the per-chain adapted step sizes
+                                  # (0 = the pooled MIN, the conservative
+                                  # default). A divergent leg is never
+                                  # multinomial-selected, so running above
+                                  # the most timid chain's eps trades some
+                                  # wasted trajectory for faster mixing.
 
 
 @partial(jax.jit, static_argnames=("logp_fn", "warmup", "samples", "cfg"))
@@ -511,7 +532,7 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
         key, k_mom, k_sel = jax.random.split(key, 3)
 
         if adapting:
-            eps_samp = jnp.exp(da.log_eps_bar).min()
+            eps_samp = _pool_eps(jnp.exp(da.log_eps_bar), cfg)
             eps = jnp.where(is_warm, jnp.exp(da.log_eps),
                             jnp.broadcast_to(eps_samp, (n_chains,)))
         else:
@@ -628,7 +649,7 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
                                    unroll=cfg.draw_unroll)
     # sampling runs at the frozen pooled-min step size — close the
     # specialized non-adapting step over it
-    eps_fixed = jnp.exp(carry[3].log_eps_bar).min()
+    eps_fixed = _pool_eps(jnp.exp(carry[3].log_eps_bar), cfg)
     step_s = make_step(n_leap_s, adapting=False, eps_fixed=eps_fixed)
 
     def sample_step(carry, xs):

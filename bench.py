@@ -10,11 +10,17 @@ benchmarks/sweep_{warmup,warmup2,batch,final_r3}.py):
 - sampler: synchronous static multinomial HMC (sample_shmc) — every draw of
   every chain runs the same static-scan trajectory (Betancourt's static
   multinomial scheme), so the vmapped batch never waits on a straggler and
-  none of NUTS' per-leaf tree bookkeeping is paid. n_steps=44 at
-  warmup=150 beats NUTS-md5 tree_scan AND the round-3-initial n48/w250
-  config on every quality axis (sweep_final_r3: coverage 0.978 vs 0.959,
-  logp-Rhat 2.33 vs 3.14, ESS/sec 1252 vs 947) at 1.27x the throughput;
-  warmup draws (discarded) run 32 steps.
+  none of NUTS' per-leaf tree bookkeeping is paid. n_steps=32 holds all
+  gates once eps_quantile=0.5 (below) un-cripples the step size — the
+  n32 quality cliff seen under the pooled-MIN rule (coverage 0.939,
+  logp-Rhat 4.35) disappears (0.971 / 2.61, sweep_eps_rule); n28/n24 are
+  another +5-8% but run logp-Rhat to 2.9/3.4 — too close to the 4.0 gate
+  for a drift-day margin. Warmup draws (discarded) run 32 steps.
+- eps_quantile=0.5: sampling runs at the MEDIAN of the per-chain adapted
+  step sizes instead of the min. A divergent leg is never
+  multinomial-selected, so out-running the most timid chain trades some
+  wasted trajectory (div ~13%) for faster mixing for everyone
+  (sweep_eps_rule: at n44, logp-Rhat 2.08 vs 2.33, p90 2.30 vs 2.43).
 - warmup=150: sampling runs at the MIN of per-chain adapted step sizes, and
   LONGER warmup gives some chain more chances to freeze a too-small eps
   that drags every chain's mixing down (sweep_warmup: w150 beats w250 on
@@ -68,8 +74,9 @@ B = 1024
 CHAINS = 4
 WARMUP = 150
 SAMPLES = 250
-N_STEPS = 44
+N_STEPS = 32
 WARM_STEPS = 32
+EPS_QUANTILE = 0.5
 # reference 4x1000 scaled to this benchmark's 4x(WARMUP+SAMPLES) budget
 BASELINE_SEC_PER_SPECTRUM = 515.5 * (WARMUP + SAMPLES) / 1000.0
 
@@ -100,7 +107,8 @@ def main():
     # through the leaf scan — one gradient recompute per draw instead of a
     # masked select per leaf (measured +4% back-to-back, draws unchanged)
     shmc_cfg = SHMCConfig(n_steps=N_STEPS, warm_steps=WARM_STEPS,
-                          leaf_unroll=2, draw_unroll=2, recompute_grad=True)
+                          leaf_unroll=2, draw_unroll=2, recompute_grad=True,
+                          eps_quantile=EPS_QUANTILE)
 
     def run(seed):
         return fit_spectra_batch(freq, Zb, mode="sample", chains=CHAINS,

@@ -102,6 +102,28 @@ def test_shmc_recompute_grad_bit_identical():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(slim))
 
 
+def test_shmc_eps_quantile():
+    """eps_quantile=0 is the pooled-min default (bit-identical); a positive
+    quantile freezes a larger sampling eps and still samples the target."""
+    cov, logp = _gaussian_target()
+    d = cov.shape[0]
+    key = jax.random.PRNGKey(5)
+    q0 = jax.random.normal(key, (4, d))
+    base, _ = sample_shmc(logp, q0, key, warmup=200, samples=200,
+                          cfg=SHMCConfig(n_steps=16))
+    zero, _ = sample_shmc(logp, q0, key, warmup=200, samples=200,
+                          cfg=SHMCConfig(n_steps=16, eps_quantile=0.0))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(zero))
+
+    med, info_m = sample_shmc(logp, q0, key, warmup=200, samples=200,
+                              cfg=SHMCConfig(n_steps=16, eps_quantile=0.5))
+    assert float(info_m["step_size"].min()) > 0.0
+    flat = np.asarray(med).reshape(-1, d)
+    assert np.abs(flat.mean(axis=0)).max() < 0.25
+    emp = np.cov(flat.T)
+    assert np.max(np.abs(emp - cov) / (np.abs(cov) + 0.2)) < 0.5
+
+
 def test_shmc_rbg_stream_samples_correctly():
     """rng_impl='rbg' re-keys onto the hardware RngBitGenerator stream —
     different draws, same target distribution."""
