@@ -45,15 +45,22 @@ def main():
                           draw_unroll=2, recompute_grad=True,
                           eps_quantile=q)
 
+    def shw(n_steps, q, warm_steps):
+        return SHMCConfig(n_steps=n_steps, warm_steps=warm_steps,
+                          leaf_unroll=2, draw_unroll=2, recompute_grad=True,
+                          eps_quantile=q)
+
+    # (name, cfg, warmup)
     configs = [
-        ("n32-q50-base", sh(32, 0.5)),
-        ("n28-q50", sh(28, 0.5)),
-        ("n24-q50", sh(24, 0.5)),
-        ("n32-q50-rep", sh(32, 0.5)),
+        ("n32-q50-w150-base", sh(32, 0.5), 150),
+        ("n32-q50-w125", sh(32, 0.5), 125),
+        ("n32-q50-w150-ws24", shw(32, 0.5, 24), 150),
+        ("n32-q50-w125-ws24", shw(32, 0.5, 24), 125),
+        ("n32-q50-w150-rep", sh(32, 0.5), 150),
     ]
 
-    for name, cfg in configs:
-        kw = dict(mode="sample", chains=CHAINS, warmup=WARMUP,
+    for name, cfg, warmup in configs:
+        kw = dict(mode="sample", chains=CHAINS, warmup=warmup,
                   samples=SAMPLES, ncp=True, sampler="shmc", shmc_cfg=cfg,
                   gamma_eval_tau=gt_tau)
         t0 = time.time()
