@@ -61,12 +61,19 @@ def main():
 
     # the TPU-first production sampler: synchronous static multinomial HMC
     # (every draw of every chain runs the same static-scan trajectory —
-    # zero batch divergence under vmap; bench.py's configuration)
+    # zero batch divergence under vmap; bench.py's configuration).
+    # eps_quantile=0.5 freezes the MEDIAN of the per-chain adapted step
+    # sizes for sampling instead of the conservative min: divergent legs
+    # are never multinomial-selected, so out-running the most timid chain
+    # costs only wasted trajectory and mixes every chain faster — it is
+    # what lets 32-step trajectories match 48-step quality.
     from bayes_drt_tpu.infer.chees import SHMCConfig
-    res = fit_spectra_batch(freq, zb, mode="sample", chains=2, warmup=150,
-                            samples=150, random_seed=1, ncp=True,
+    res = fit_spectra_batch(freq, zb, mode="sample", chains=4, warmup=150,
+                            samples=250, random_seed=1, ncp=True,
                             sampler="shmc",
-                            shmc_cfg=SHMCConfig(n_steps=48, warm_steps=32),
+                            shmc_cfg=SHMCConfig(n_steps=32, warm_steps=32,
+                                                recompute_grad=True,
+                                                eps_quantile=0.5),
                             gamma_eval_tau=gt["tau"].values)
     gam = evaluate_gamma(res, gt["tau"].values)
     rmse = float(np.sqrt(np.mean((gam.mean(axis=0) - gt["gamma"].values) ** 2)))
