@@ -40,9 +40,13 @@ def main():
     rp = np.trapezoid(gt_g, np.log(gt_tau))
 
     from bayes_drt_tpu.infer.chees import SHMCConfig
+    # the bench.py production sampler config (round-3 final): 32-step
+    # trajectories + median step-size pooling, 150 warmup draws; reference
+    # anchors for the HMC rows are scaled to the same 4x400 budget
     shmc = dict(sampler="shmc",
-                shmc_cfg=SHMCConfig(n_steps=48, warm_steps=32,
-                                    leaf_unroll=2, draw_unroll=2))
+                shmc_cfg=SHMCConfig(n_steps=32, warm_steps=32,
+                                    leaf_unroll=2, draw_unroll=2,
+                                    recompute_grad=True, eps_quantile=0.5))
 
     configs = [
         ("ridge-ordinary", 0.10,
@@ -69,9 +73,9 @@ def main():
         # structure on the standard workload; ref anchor = the 12-18 s
         # outlier-model MAP row scaled by the 81.1/2.0 HMC/MAP ratio of
         # the same tutorial series -> ~608 s, conservatively 515.5/2)
-        ("hmc-outliers", 515.5 / 2.0,
+        ("hmc-outliers", 515.5 * 400 / 1000,
          lambda seed: fit_spectra_batch(freq, Zb, mode="sample", chains=4,
-                                        warmup=250, samples=250,
+                                        warmup=150, samples=250,
                                         random_seed=seed, ncp=True,
                                         outliers=True, **shmc)),
     ]
@@ -92,9 +96,9 @@ def main():
                         "symmetry": "planar", "bc": "transmissive"}}
     gt_ddt = pd.read_csv("/root/reference/data/simulated/gamma_BimodalTP-DDT.csv")
     configs.append(
-        ("hmc-ddt-tp", 109.7 * 2000 / 800,
+        ("hmc-ddt-tp", 109.7 * 1600 / 800,
          lambda seed: fit_spectra_batch(f_ddt, Zd, mode="sample", chains=4,
-                                        warmup=250, samples=250,
+                                        warmup=150, samples=250,
                                         random_seed=seed, ncp=True,
                                         nonneg=True, distributions=dists,
                                         **shmc)))
