@@ -139,9 +139,9 @@ def cmd_fit(args):
                 samples=args.samples, ncp=not args.centered,
                 outliers=args.outliers, nonneg=args.nonneg,
                 random_seed=args.seed,
-                shmc_cfg=SHMCConfig(n_steps=48, warm_steps=32,
+                shmc_cfg=SHMCConfig(n_steps=32, warm_steps=32,
                                     leaf_unroll=2, draw_unroll=2,
-                                    recompute_grad=True),
+                                    recompute_grad=True, eps_quantile=0.5),
                 gamma_eval_tau=tau_eval, mesh=mesh)
         elapsed = time.time() - t0
 

@@ -464,8 +464,9 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
 
     Warmup adaptation as in sample_chees: per-chain dual averaging on the
     trajectory-averaged acceptance statistic, per-chain Welford pooled as
-    within-chain variance into one shared diagonal metric, pooled-min
-    sampling step size. vmap over spectra only (chains are internal).
+    within-chain variance into one shared diagonal metric, pooled sampling
+    step size (min by default, a per-chain quantile via
+    ``cfg.eps_quantile``). vmap over spectra only (chains are internal).
     """
     value_and_grad = jax.vmap(jax.value_and_grad(logp_fn))
     n_chains, dim = q0.shape
@@ -647,7 +648,7 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
             jit_mult[warmup:], j_split[warmup:])
     carry, warm_div = jax.lax.scan(warm_step, carry0, xs_w,
                                    unroll=cfg.draw_unroll)
-    # sampling runs at the frozen pooled-min step size — close the
+    # sampling runs at the frozen pooled step size — close the
     # specialized non-adapting step over it
     eps_fixed = _pool_eps(jnp.exp(carry[3].log_eps_bar), cfg)
     step_s = make_step(n_leap_s, adapting=False, eps_fixed=eps_fixed)
