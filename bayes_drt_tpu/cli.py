@@ -93,6 +93,14 @@ def _fit_parser(sub):
 
 
 def cmd_fit(args):
+    # persistent XLA compile cache: a serving sweep must not pay the
+    # multi-minute cold compile on every invocation (same setup bench.py
+    # uses; override the location with JAX_COMPILE_CACHE_DIR)
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILE_CACHE_DIR",
+                                     "/tmp/jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     from .native import load_spectra
     from .parallel import (evaluate_gamma, fit_spectra_batch, make_mesh,
                            ridge_fit_spectra_batch)

@@ -103,6 +103,36 @@ def main():
                                         nonneg=True, distributions=dists,
                                         **shmc)))
 
+    # config 6: Series-Parallel multi-distribution HMC (DRT + TP-DDT, the
+    # reference's DRT-2-TpDDT workload; ref: 198.6-362.3 s/spectrum at the
+    # paper budget, code_EchemActa/"Run fits.ipynb" — anchored at the
+    # FASTEST observation, unscaled, so the multiplier is conservative)
+    B_SP = 256
+    sp = pd.read_csv(
+        "/root/reference/data/simulated/Z_DRT-2-TpDDT_noiseless.csv")
+    f_sp = sp["Freq"].values
+    z_sp = sp["Zreal"].values + 1j * sp["Zimag"].values
+    zr_sp = np.max(z_sp.real) - np.min(z_sp.real)
+    rng_sp = np.random.default_rng(1)
+    Zsp = z_sp[None, :] + 0.0025 * zr_sp * (
+        rng_sp.standard_normal((B_SP, len(z_sp)))
+        + 1j * rng_sp.standard_normal((B_SP, len(z_sp))))
+    sp_dists = {
+        "DRT": {"kernel": "DRT", "basis_freq": np.logspace(6, -2, 81)},
+        "TP-DDT": {"kernel": "DDT", "symmetry": "planar",
+                   "bc": "transmissive", "dist_type": "parallel",
+                   "basis_freq": np.logspace(6, -2, 81), "x_scale": 0.8},
+    }
+    gt_sp = pd.read_csv(
+        "/root/reference/data/simulated/gamma_DRT-2-TpDDT.csv")
+    configs.append(
+        ("hmc-multidist-sp", 198.6,
+         lambda seed: fit_spectra_batch(f_sp, Zsp, mode="sample", chains=4,
+                                        warmup=150, samples=250,
+                                        random_seed=seed, ncp=True,
+                                        nonneg=True, distributions=sp_dists,
+                                        **shmc)))
+
     only = set(sys.argv[1:])
     for name, ref_sec, run in configs:
         if only and name not in only:
@@ -120,6 +150,27 @@ def main():
             if el < best:
                 best, res = el, r
 
+        if name == "hmc-multidist-sp":
+            # gate BOTH recovered distributions against the committed truth
+            from bayes_drt_tpu.ops.basis import get_basis_func
+            tau_q = gt_sp["tau"].values
+            y = np.log(tau_q[:, None] / np.asarray(res.tau)[None, :])
+            bases = np.asarray(get_basis_func(res.basis)(y, res.epsilon))
+            g_drt = np.asarray(res.coef) @ bases.T
+            g_tp = np.asarray(res.diagnostics["coef_1"]) @ bases.T
+            for label, gb, col in (("gamma", g_drt, "gamma"),
+                                   ("ftp", g_tp, "ftp")):
+                truth = gt_sp[col].values
+                rp_d = np.trapezoid(truth, np.log(tau_q))
+                r_d = np.sqrt(np.mean((gb.mean(0) - truth) ** 2))
+                print(f"  [{name}] {label}: rmse={100*r_d/abs(rp_d):.2f}%Rp",
+                      flush=True)
+            spm = B_SP / (best / 60.0)
+            ref_spm = 60.0 / ref_sec
+            print(f"{name}: best={best:.3f}s spm={spm:.0f} "
+                  f"sec/spectrum={best/B_SP*1e3:.3f}ms "
+                  f"vs_ref={spm/ref_spm:.0f}x", flush=True)
+            continue
         if name == "hmc-ddt-tp":
             tau_q, g_q = gt_ddt["tau"].values, gt_ddt["gamma"].values
         else:
