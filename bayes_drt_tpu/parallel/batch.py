@@ -14,6 +14,8 @@ appear only if results are gathered.
 
 from __future__ import annotations
 
+import warnings
+from functools import partial
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -1192,7 +1194,7 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
                             weights: str = "modulus", max_iter: int = 20,
                             xtol: float = 1e-3, mesh: Optional[Mesh] = None,
                             basis: str = "gaussian",
-                            dtype=None) -> BatchFitResult:
+                            dtype=None, cv_lambdas=None) -> BatchFitResult:
     """Batched (hyper-lambda or ordinary) ridge DRT fits: B spectra in one
     vmapped XLA program (vs the reference's ~0.1 s serial cvxopt solves,
     inversion.py:1043-1067). Shares one frequency/basis grid across the
@@ -1200,7 +1202,20 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     jit ARGUMENTS through a cached program (zero re-tracing across calls
     with the same shapes), the full reference weights vocabulary is
     supported, and under a ``mesh`` the batch is physically partitioned
-    (out_shardings + diagnostics['shard_layout'] proof)."""
+    (out_shardings + diagnostics['shard_layout'] proof).
+
+    ``cv_lambdas``: optional (L,) grid of lambda_0 values. When given,
+    ``lambda_0`` is ignored and each spectrum's regularization strength is
+    selected by Re-Im cross-validation (the reference's serial
+    ``ridge_ReImCV`` loop, inversion.py:902-945) — for every lambda a
+    real-part fit predicts the imaginary component and vice versa, the
+    summed squared prediction errors pick the per-spectrum argmin, and the
+    final both-part fit runs at the selected lambda. The whole
+    (L lambdas x B spectra x 2 parts + final) sweep is ONE cached XLA
+    program: a lax.scan over the grid around the vmapped solver.
+    Diagnostics gain ``cv_lambda`` (B,), ``cv_recv``/``cv_imcv``/
+    ``cv_totcv`` (B, L); a warning fires if any spectrum selects a grid
+    boundary (same semantics as the reference's single-spectrum warning)."""
     Z_batch = np.asarray(Z_batch)
     # reorder data columns to the descending-frequency matrix convention
     f_order = np.argsort(np.asarray(frequencies, float))[::-1]
@@ -1264,19 +1279,24 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     cfg = HyperLambdaConfig(part="both", penalty=penalty, n_fixed=2,
                             max_iter=max_iter)
 
-    def fit_one(t_re, t_im, wr, wi, A_re_j, A_im_j, L2_base_j, L_ops_j,
-                L1_vec, frac_j, lb_j, ub_j):
-        data = RidgeData(WA_re=wr[:, None] * A_re_j,
+    def make_data(t_re, t_im, wr, wi, A_re_j, A_im_j, L2_base_j, L_ops_j,
+                  L1_vec, frac_j, lb_j, ub_j):
+        return RidgeData(WA_re=wr[:, None] * A_re_j,
                          WA_im=wi[:, None] * A_im_j,
                          WT_re=wr * t_re, WT_im=wi * t_im,
                          L2_base=L2_base_j, L_ops=L_ops_j, L1_vec=L1_vec,
                          reg_frac=frac_j, lb=lb_j, ub=ub_j)
+
+    def solve_at(scfg, part, data, lam):
         if hyper_lambda:
-            res = run_hyper_lambda(cfg, data, jnp.full(k, 1e-6, dtype),
-                                   jnp.full(3, hl_beta, dtype), lambda_0,
-                                   xtol=xtol)
-        else:
-            res = run_ordinary_ridge("both", data, lambda_0)
+            return run_hyper_lambda(scfg, data, jnp.full(k, 1e-6, dtype),
+                                    jnp.full(3, hl_beta, dtype), lam,
+                                    xtol=xtol)
+        return run_ordinary_ridge(part, data, lam)
+
+    def fit_one(lam, t_re, t_im, wr, wi, *sh):
+        data = make_data(t_re, t_im, wr, wi, *sh)
+        res = solve_at(cfg, "both", data, lam)
         return res.coef, res.n_iter, res.converged
 
     mapped = tuple(jnp.asarray(a, dtype)
@@ -1284,17 +1304,79 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     shared = tuple(jnp.asarray(a, dtype)
                    for a in (A_re, A_im, np.array(L2_base), np.array(L_ops),
                              np.zeros(k), frac, lb, ub))
-    prog_key = ("ridge_fit_spectra_batch", cfg, bool(hyper_lambda),
-                float(hl_beta), float(lambda_0), float(xtol), b,
-                data_shapes(mapped + shared), str(np.dtype(np.float64
-                if dtype == jnp.float64 else np.float32)), mesh)
+    dtype_key = str(np.dtype(np.float64 if dtype == jnp.float64
+                             else np.float32))
 
-    def build_fit():
-        fn = precise_matmuls(
-            jax.vmap(fit_one, in_axes=(0, 0, 0, 0) + (None,) * 8))
-        if mesh is not None:
-            return jax.jit(fn, out_shardings=NamedSharding(mesh, P("spectra")))
-        return jax.jit(fn)
+    if cv_lambdas is None:
+        prog_key = ("ridge_fit_spectra_batch", cfg, bool(hyper_lambda),
+                    float(hl_beta), float(lambda_0), float(xtol), b,
+                    data_shapes(mapped + shared), dtype_key, mesh)
+
+        def build_fit():
+            # bind lambda_0 as a Python float so it constant-folds exactly
+            # as the pre-CV closure did (bit-identical programs)
+            fn = precise_matmuls(jax.vmap(
+                partial(fit_one, lambda_0),
+                in_axes=(0, 0, 0, 0) + (None,) * 8))
+            if mesh is not None:
+                return jax.jit(fn,
+                               out_shardings=NamedSharding(mesh, P("spectra")))
+            return jax.jit(fn)
+    else:
+        cv_lams = np.asarray(cv_lambdas, float)
+        cfg_re = cfg._replace(part="real")
+        cfg_im = cfg._replace(part="imag")
+
+        def cv_errors_one(lam, t_re, t_im, wr, wi, *sh):
+            """Held-out prediction errors at one lambda: fit on one part,
+            score the other, unweighted (reference: inversion.py:906-921;
+            dead columns — inductance in the real fit, R_inf in the imag
+            fit — are pinned to 0 by assemble_qp, mirroring the
+            reference's post-solve overwrite)."""
+            data = make_data(t_re, t_im, wr, wi, *sh)
+            A_re_j, A_im_j = sh[0], sh[1]
+            coef_r = solve_at(cfg_re, "real", data, lam).coef
+            coef_i = solve_at(cfg_im, "imag", data, lam).coef
+            # part-specific offset recovery (reference: inversion.py:854-873,
+            # mirrored from the single-spectrum path): the imag-only fit
+            # cannot see R_inf — recover it as the mean real residual; the
+            # real-only fit cannot see the inductance — project the imag
+            # residual onto the omega column
+            coef_i = coef_i.at[0].set(
+                jnp.mean(t_re - A_re_j[:, 2:] @ coef_i[2:]))
+            bvec = A_im_j[:, 1]
+            zi_resid = t_im - A_im_j[:, 2:] @ coef_r[2:]
+            coef_r = coef_r.at[1].set((bvec @ zi_resid) / (bvec @ bvec))
+            imcv = jnp.sum((t_im - A_im_j @ coef_r) ** 2)
+            recv = jnp.sum((t_re - A_re_j @ coef_i) ** 2)
+            return recv, imcv
+
+        def cv_program(t_re, t_im, wr, wi, *sh_and_grid):
+            sh, grid = sh_and_grid[:-1], sh_and_grid[-1]
+            err_fn = jax.vmap(cv_errors_one,
+                              in_axes=(None, 0, 0, 0, 0) + (None,) * 8)
+
+            def per_lam(carry, lam):
+                return carry, err_fn(lam, t_re, t_im, wr, wi, *sh)
+
+            _, (recv_L, imcv_L) = jax.lax.scan(per_lam, 0, grid)
+            lam_star = grid[jnp.argmin(recv_L + imcv_L, axis=0)]   # (B,)
+            coef, n_iter, conv = jax.vmap(
+                fit_one, in_axes=(0, 0, 0, 0, 0) + (None,) * 8)(
+                    lam_star, t_re, t_im, wr, wi, *sh)
+            return coef, n_iter, conv, lam_star, recv_L.T, imcv_L.T
+
+        shared = shared + (jnp.asarray(cv_lams, dtype),)
+        prog_key = ("ridge_cv_spectra_batch", cfg, bool(hyper_lambda),
+                    float(hl_beta), float(xtol), b, len(cv_lams),
+                    data_shapes(mapped + shared), dtype_key, mesh)
+
+        def build_fit():
+            fn = precise_matmuls(cv_program)
+            if mesh is not None:
+                return jax.jit(fn,
+                               out_shardings=NamedSharding(mesh, P("spectra")))
+            return jax.jit(fn)
 
     if mesh is not None:
         sh = NamedSharding(mesh, P("spectra", None))
@@ -1306,11 +1388,24 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
         shard_layout = tuple(sorted(
             (sd.device.id, sd.index[0].start or 0, sd.index[0].stop or b)
             for sd in out[0].addressable_shards))
-    coefs, n_iter, converged = (np.asarray(a)[:b_real] for a in out)
+    coefs, n_iter, converged = (np.asarray(a)[:b_real] for a in out[:3])
     z_scales = z_scales[:b_real]
 
     coefs = coefs * z_scales[:, None]
     diagnostics = {"n_iter": n_iter, "converged": converged}
+    if cv_lambdas is not None:
+        lam_sel = np.asarray(out[3])[:b_real].astype(float)
+        recv = np.asarray(out[4])[:b_real]
+        imcv = np.asarray(out[5])[:b_real]
+        diagnostics.update(cv_lambda=lam_sel, cv_recv=recv, cv_imcv=imcv,
+                           cv_totcv=recv + imcv)
+        n_boundary = int(np.sum((lam_sel <= cv_lams.min() * (1 + 1e-12))
+                                | (lam_sel >= cv_lams.max() / (1 + 1e-12))))
+        if n_boundary:
+            warnings.warn(
+                f"Re-Im CV selected a boundary lambda for {n_boundary} "
+                "spectra; re-run with an expanded cv_lambdas range for an "
+                "accurate estimate.")
     if shard_layout is not None:
         diagnostics["shard_layout"] = shard_layout
     return BatchFitResult(

@@ -257,6 +257,65 @@ def test_ridge_batch_ordinary_mode():
     assert (rmse < 0.2 * rp).all(), rmse
 
 
+def test_ridge_batch_reim_cv_matches_serial():
+    """Batched Re-Im CV (one lax.scan program over the lambda grid) must
+    reproduce the serial Inverter.ridge_ReImCV loop: identical normalized
+    CV curves and the same selected lambda (reference: inversion.py:902-945
+    — incl. the part-fit offset recovery at 854-873, without which the
+    imag-fit's missing R_inf floods recv and flattens the curve)."""
+    from bayes_drt_tpu import Inverter
+
+    df = pd.read_csv("/root/reference/data/simulated/Z_ZARC_Macdonald_0.25.csv")
+    freq = df["Freq"].values
+    Z = df["Zreal"].values + 1j * df["Zimag"].values
+    lams = np.logspace(-7, 3, 11)
+    kw = dict(penalty="discrete", reg_ord=2, nonneg=True, weights="modulus",
+              hyper_lambda=False)
+
+    inv = Inverter()
+    lam_serial = inv.ridge_ReImCV(freq, Z, lambdas=lams, **kw)
+    serial = np.log10(inv.cv_result["totcv"].values)
+
+    res = ridge_fit_spectra_batch(freq, Z[None, :], penalty="discrete",
+                                  hyper_lambda=False, cv_lambdas=lams)
+    d = res.diagnostics
+    assert d["cv_lambda"][0] == lam_serial
+    batched = np.log10(d["cv_totcv"][0])
+    # identical curves up to the per-spectrum z-scale (a constant shift)
+    np.testing.assert_allclose(batched - batched.min(),
+                               serial - serial.min(), atol=1e-6)
+    # the CV-selected fit itself is sound
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g = evaluate_gamma(res, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse = np.sqrt(np.mean((g[0] - gt["gamma"].values) ** 2))
+    assert rmse < 0.2 * rp, rmse
+
+
+def test_ridge_batch_cv_hyper_lambda_batch():
+    """CV over the hyper-lambda solver on a real batch: per-spectrum
+    selection, full diagnostics, boundary warning when the grid is
+    too narrow."""
+    freq, Zb = load_batch(b=3)
+    lams = np.logspace(-4, 1, 5)
+    res = ridge_fit_spectra_batch(freq, Zb, cv_lambdas=lams, max_iter=8)
+    d = res.diagnostics
+    assert d["cv_lambda"].shape == (3,)
+    assert d["cv_totcv"].shape == (3, 5)
+    assert np.isfinite(res.coef).all()
+    assert np.all(np.isin(d["cv_lambda"], lams))
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g = evaluate_gamma(res, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse = np.sqrt(np.mean((g - gt["gamma"].values[None, :]) ** 2, axis=1))
+    assert (rmse < 0.15 * rp).all(), rmse
+    # a grid whose optimum sits on the boundary must warn
+    with pytest.warns(UserWarning, match="boundary lambda"):
+        ridge_fit_spectra_batch(freq, Zb, hyper_lambda=False,
+                                penalty="discrete",
+                                cv_lambdas=np.logspace(1, 3, 3))
+
+
 def test_ridge_batch_program_cached_across_calls():
     """Second call with identical shapes must reuse the cached program —
     the round-2 'NEVER close a fresh jit over big arrays per call' rule."""
