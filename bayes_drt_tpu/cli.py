@@ -88,6 +88,12 @@ def _fit_parser(sub):
     p.add_argument("--peaks", action="store_true",
                    help="also fit HN peaks to each recovered distribution "
                         "(writes Peaks_<stem>.csv and a n_peaks column)")
+    p.add_argument("--ridge-cv", action="store_true",
+                   help="ridge mode: select each spectrum's lambda_0 by "
+                        "Re-Im cross-validation over --cv-grid (one XLA "
+                        "program for the whole grid x batch sweep)")
+    p.add_argument("--cv-grid", default="1e-7,1e2,19",
+                   help="lambda grid for --ridge-cv as lo,hi,n (logspace)")
     p.set_defaults(func=cmd_fit)
     return p
 
@@ -133,7 +139,13 @@ def cmd_fit(args):
                 print("note: --outliers applies to sample/optimize modes; "
                       "for outlier-robust ridge use the hyper-weights API",
                       file=sys.stderr)
-            res = ridge_fit_spectra_batch(freq, Zb, mesh=mesh)
+            cv_lams = None
+            if args.ridge_cv:
+                lo, hi, n_cv = args.cv_grid.split(",")
+                cv_lams = np.logspace(np.log10(float(lo)),
+                                      np.log10(float(hi)), int(n_cv))
+            res = ridge_fit_spectra_batch(freq, Zb, mesh=mesh,
+                                          cv_lambdas=cv_lams)
         elif args.mode == "optimize":
             res = fit_spectra_batch(
                 freq, Zb, mode="optimize", max_iter=args.max_iter,
@@ -181,6 +193,8 @@ def cmd_fit(args):
                 "fit_seconds_bucket": round(elapsed, 3),
                 "bucket": bi,
             }
+            if args.mode == "ridge" and args.ridge_cv:
+                row["cv_lambda"] = float(res.diagnostics["cv_lambda"][i])
             if args.mode == "sample":
                 d = res.diagnostics
                 row["min_ess"] = float(d["min_ess"][i])

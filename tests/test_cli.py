@@ -84,6 +84,23 @@ def test_cli_optimize_single_file(data_dir, tmp_path):
     assert rmse < 0.05 * rp, rmse
 
 
+def test_cli_ridge_cv(data_dir, tmp_path):
+    out = tmp_path / "out_cv"
+    rc = main(["fit", str(data_dir / "spec_0.csv"), "--out", str(out),
+               "--mode", "ridge", "--ridge-cv", "--cv-grid", "1e-5,1,5"])
+    assert rc == 0
+    summary = pd.read_csv(out / "summary.csv")
+    lam = float(summary["cv_lambda"].iloc[0])
+    # the CLI rebuilds the grid via log10 of the parsed endpoints, which
+    # lands an ulp off exact logspace values — compare with tolerance
+    assert np.isclose(lam, np.logspace(-5, 0, 5), rtol=1e-10).any(), lam
+    gt, rp = _ground_truth()
+    g = pd.read_csv(out / f"Gout_spec_0.csv")
+    gi = np.interp(gt["tau"].values, g["tau"].values, g["gamma"].values)
+    rmse = np.sqrt(np.mean((gi - gt["gamma"].values) ** 2))
+    assert rmse < 0.10 * rp, rmse
+
+
 def test_cli_no_match(tmp_path):
     assert main(["fit", str(tmp_path), "--pattern", "*.nope"]) == 2
 

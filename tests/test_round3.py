@@ -344,6 +344,24 @@ def test_ridge_batch_actually_partitions():
     np.testing.assert_allclose(res.coef, res_u.coef, rtol=1e-5, atol=1e-7)
 
 
+def test_ridge_batch_cv_partitions_across_mesh():
+    """The CV program (scan-over-grid around the vmapped solver) must
+    physically partition the batch like the plain program does."""
+    freq, Zb = load_batch(b=8)
+    mesh = make_mesh(8)
+    lams = np.logspace(-4, 0, 3)
+    res = ridge_fit_spectra_batch(freq, Zb, hyper_lambda=False,
+                                  penalty="discrete", cv_lambdas=lams,
+                                  mesh=mesh)
+    layout = res.diagnostics["shard_layout"]
+    assert len({d for d, _, _ in layout}) == 8, layout
+    res_u = ridge_fit_spectra_batch(freq, Zb, hyper_lambda=False,
+                                    penalty="discrete", cv_lambdas=lams)
+    np.testing.assert_allclose(res.coef, res_u.coef, rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(res.diagnostics["cv_lambda"],
+                                  res_u.diagnostics["cv_lambda"])
+
+
 # ------------------------------------------------------------- ragged parity
 
 def _ragged_spectra(b=2, noise=0.002, seed=0):
