@@ -1414,6 +1414,245 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
         diagnostics=diagnostics, basis=basis)
 
 
+def drift_fit_spectra_batch(frequencies, times, Z_batch, drift_model="x1",
+                            basis_freq=None, epsilon=None,
+                            nonneg: bool = False, sigma_min: float = 0.002,
+                            max_iter: int = 2000, random_seed: int = 0,
+                            inductance_scale: float = 1.0,
+                            init_from_ridge: bool = True, n_restarts: int = 2,
+                            min_tau_drift: float = 200.0,
+                            max_tau_drift: float = 10000.0,
+                            mesh: Optional[Mesh] = None,
+                            basis: str = "gaussian", dtype=None,
+                            distributions=None) -> BatchFitResult:
+    """Batched MAP fits of time-evolving spectra: B cells measured on the
+    SAME frequency sweep schedule (shared per-point measurement times) fit
+    in one vmapped XLA program — the fleet form of ``Inverter.
+    drift_map_fit`` (reference: inversion.py:1291-1564, which fits one
+    evolving spectrum at a time).
+
+    ``times``: measurement time of each frequency point (len == len(
+    frequencies), seconds) — shared by the batch, as when one instrument
+    schedule sweeps every cell. Measurement order is preserved (NOT sorted
+    to descending frequency) so times stay aligned, matching the
+    single-spectrum path.
+
+    ``distributions``: optional single-entry mini-DSL dict (drift fits
+    support one distribution, same restriction as the reference).
+
+    Returns a BatchFitResult whose ``coef``/``r_inf``/``inductance`` are
+    the time-zero (or final, for *-from-final models) values;
+    ``diagnostics['drift']`` carries every rescaled drift parameter
+    (x0/x1/dx/x2 vectors, tau_1/tau_2/tau_Rinf, delta_Rinf, RQ-element
+    parameters), ``diagnostics['value']``/``['n_iter']`` the per-cell
+    optimizer state. Ridge-seeded (one batched hyper-lambda ridge pass
+    anchors x0/x1/R_inf) plus ``n_restarts`` random restarts, best loss
+    wins — the single-spectrum workflow, vectorized."""
+    from ..models.drift import (DRIFT_MODELS, DriftConfig, DriftData,
+                                constrain_drift, drift_log_density,
+                                init_drift_params, predict_drift_target)
+    if drift_model not in DRIFT_MODELS:
+        raise ValueError(f"Invalid drift_model {drift_model!r}. Options "
+                         f"are {DRIFT_MODELS}")
+    frequencies = np.asarray(frequencies, float)
+    times = np.asarray(times, float)
+    if len(times) != len(frequencies):
+        raise ValueError("times must have same length as frequencies")
+    Z_batch = np.asarray(Z_batch)
+    if Z_batch.ndim != 2 or Z_batch.shape[1] != len(frequencies):
+        raise ValueError(f"Z_batch must be (B, {len(frequencies)})")
+    Z_batch, b_real = _pad_pow2(Z_batch)
+    b, n = Z_batch.shape
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    if distributions is None:
+        distributions = {"DRT": {"kernel": "DRT", "dist_type": "series"}}
+    if len(distributions) != 1:
+        raise ValueError("drift fits support a single distribution")
+    dist_name, info = next(iter(distributions.items()))
+    info = dict(info)
+    if info.get("kernel", "DRT") == "DRT":
+        info.setdefault("dist_type", "series")
+    else:
+        info.setdefault("dist_type", "parallel")
+        info.setdefault("symmetry", "planar")
+        info.setdefault("bc", "blocking")
+    info.setdefault("ct", False)
+    dist_type = info["dist_type"]
+
+    if basis_freq is None:
+        tau = get_tau_basis(np.sort(frequencies)[::-1])
+    else:
+        tau = 1.0 / (2 * np.pi * np.asarray(basis_freq, float))
+    eps = default_epsilon(tau) if epsilon is None else float(epsilon)
+    f_coll = 1.0 / (2 * np.pi * tau)
+
+    with _cpu_context():
+        kw = dict(tau=tau, basis=basis, epsilon=eps,
+                  kernel=info.get("kernel", "DRT"),
+                  dist_type=dist_type, symmetry=info.get("symmetry", "planar"),
+                  bc=info.get("bc", "transmissive"), ct=info["ct"],
+                  k_ct=info.get("k_ct", None))
+        A_re = np.asarray(construct_A(frequencies, "real", **kw))
+        A_im = np.asarray(construct_A(frequencies, "imag", **kw))
+        # drift penalty stack: the mode-scaled L operators the
+        # single-spectrum path builds (inverter.drift_map_fit)
+        L = np.stack([1.5 * s * np.asarray(construct_L(
+            f_coll, tau=tau, basis=basis, epsilon=eps, order=o))
+            for o, s in ((0, 0.24), (1, 0.16), (2, 0.08))])
+
+    # scale with the NORMALIZED dist info so under-specified DDT dicts get
+    # the same bc default ('blocking') the Inverter applies
+    z_scales = np.asarray(z_scale_for({dist_name: info}, Z_batch, "map"))
+    Zs = Z_batch / z_scales[:, None]
+    targets = np.concatenate([Zs.real, Zs.imag], axis=1)  # (B, 2N)
+
+    cfg = DriftConfig(drift_model=drift_model, dist_type=dist_type,
+                      nonneg=nonneg, K=len(tau))
+    data = DriftData(
+        A_re=jnp.asarray(A_re, dtype), A_im=jnp.asarray(A_im, dtype),
+        L=jnp.asarray(L, dtype), Z=jnp.zeros((2 * n,), dtype),
+        freq=jnp.asarray(frequencies, dtype),
+        times=jnp.asarray(times, dtype),
+        sigma_min=jnp.asarray(sigma_min, dtype),
+        ups_alpha=jnp.asarray(0.05, dtype), ups_beta=jnp.asarray(0.1, dtype),
+        induc_scale=jnp.asarray(inductance_scale, dtype),
+        tau_bounds=jnp.asarray([min_tau_drift, max_tau_drift], dtype),
+        tau2_bounds=jnp.asarray([max(min_tau_drift, 500.0), max_tau_drift],
+                                dtype),
+        rq_tau_bounds=jnp.asarray([tau.min(), tau.max()], dtype),
+        k_bounds=jnp.asarray([1e-4, 1.0], dtype),
+        t_max=jnp.asarray(times.max(), dtype),
+        t_min=jnp.asarray(times.min(), dtype))
+
+    # host-side ridge anchor for x0/x1/R_inf/inductance — the reference's
+    # recommended drift workflow (inversion.py:1411-1432), one BATCHED
+    # hyper-lambda ridge pass for the whole fleet
+    pos_x = nonneg or dist_type == "parallel"
+    if init_from_ridge:
+        rr = ridge_fit_spectra_batch(
+            frequencies, Z_batch, basis_freq=1.0 / (2 * np.pi * tau),
+            penalty="integral", hyper_lambda=True, lambda_0=1.0, hl_beta=5.0,
+            weights="modulus", basis=basis, dtype=dtype)
+        x_r = rr.coef / z_scales[:, None]
+        if dist_type == "parallel":
+            x_r = rr.coef * z_scales[:, None]
+        rinf_r = np.clip(rr.r_inf / z_scales, 1e-6, None)
+        induc_r = np.clip(rr.inductance / z_scales, 1e-10, None)
+        iv_x = (np.log(np.clip(x_r, 1e-10, None)) if pos_x
+                else np.asarray(x_r))
+        iv_rinf = np.log(rinf_r / 100.0)
+        iv_induc = np.log(induc_r)
+    else:
+        iv_x = np.zeros((b, len(tau)))
+        iv_rinf = np.full(b, np.log(1e-2))
+        iv_induc = np.full(b, np.log(1e-10))
+
+    keys = jax.random.split(jax.random.PRNGKey(random_seed), b)
+
+    def fit_one(target, skey, ivx, ivr, ivi, dat):
+        d = dat._replace(Z=target)
+        loss = lambda p: -drift_log_density(cfg, d, p, jacobian=False)
+        iv = {"Rinf0_raw": ivr, "induc_raw": ivi, "dRinf_raw": 0.0,
+              "x0": ivx, "x1": ivx,
+              "dx": jnp.full_like(ivx, 1e-3), "x2": jnp.full_like(ivx, 1e-3)}
+        k_ridge, k_rand = jax.random.split(skey)
+        p0 = init_drift_params(cfg, d, k_ridge, init_values=iv)
+        p0 = jax.tree.map(lambda a: jnp.asarray(a, dtype), p0)
+        best = run_lbfgs(loss, p0, max_iter=max_iter)
+        if n_restarts > 0:
+            def one_restart(rkey):
+                pr = jax.tree.map(lambda a: jnp.asarray(a, dtype),
+                                  init_drift_params(cfg, d, rkey))
+                return run_lbfgs(loss, pr, max_iter=max_iter)
+
+            rand = jax.vmap(one_restart)(jax.random.split(k_rand, n_restarts))
+            ib = jnp.argmin(jnp.where(jnp.isfinite(rand.value),
+                                      rand.value, jnp.inf))
+            rand_p = jax.tree.map(lambda a: a[ib], rand.params)
+            rand_v = rand.value[ib]
+            take_ridge = best.value <= rand_v
+            params = jax.tree.map(
+                lambda a, r: jnp.where(take_ridge, a, r), best.params, rand_p)
+            value = jnp.minimum(best.value, rand_v)
+            n_it = jnp.where(take_ridge, best.n_iter, rand.n_iter[ib])
+        else:
+            params, value, n_it = best.params, best.value, best.n_iter
+        c = constrain_drift(cfg, d, params)
+        # reconstruction quality at the fitted drift trajectory (the same
+        # check the single-spectrum drift test gates on)
+        pred = predict_drift_target(cfg, d, c)
+        zmod = jnp.sqrt(target[: d.freq.shape[0]] ** 2
+                        + target[d.freq.shape[0]:] ** 2)
+        resid = jnp.sqrt((pred[: d.freq.shape[0]] - target[: d.freq.shape[0]]) ** 2
+                         + (pred[d.freq.shape[0]:] - target[d.freq.shape[0]:]) ** 2)
+        med_resid = jnp.median(resid / jnp.maximum(zmod, 1e-30))
+        return c, value, n_it.astype(jnp.float32), med_resid
+
+    mapped = (jnp.asarray(targets, dtype), keys,
+              jnp.asarray(iv_x, dtype), jnp.asarray(iv_rinf, dtype),
+              jnp.asarray(iv_induc, dtype))
+    prog_key = ("drift_fit_spectra_batch", cfg, int(n_restarts),
+                int(max_iter), float(sigma_min), b,
+                data_shapes(mapped), data_shapes(data),
+                str(np.dtype(np.float64 if dtype == jnp.float64
+                             else np.float32)), mesh)
+
+    def build_fit():
+        fn = precise_matmuls(jax.vmap(fit_one,
+                                      in_axes=(0, 0, 0, 0, 0, None)))
+        if mesh is not None:
+            return jax.jit(fn, out_shardings=NamedSharding(mesh, P("spectra")))
+        return jax.jit(fn)
+
+    if mesh is not None:
+        shd = NamedSharding(mesh, P("spectra", None))
+        mapped = tuple(jax.device_put(a, shd) for a in mapped)
+    batched = _cached_program(prog_key, build_fit)
+    c, value, n_it, med_resid = batched(*mapped, data)
+
+    shard_layout = None
+    if mesh is not None:
+        shard_layout = tuple(sorted(
+            (sd.device.id, sd.index[0].start or 0, sd.index[0].stop or b)
+            for sd in value.addressable_shards))
+
+    c = {k_: np.asarray(v)[:b_real] for k_, v in c.items()}
+    value = np.asarray(value)[:b_real]
+    n_it = np.asarray(n_it)[:b_real]
+    med_resid = np.asarray(med_resid)[:b_real]
+    z_scales = z_scales[:b_real]
+
+    # rescale to original impedance units (offsets are always series-scaled;
+    # coefficient vectors follow the distribution type — inverter.
+    # _rescale_coef semantics)
+    def rescale_vec(v):
+        if dist_type == "parallel":
+            return v / z_scales[:, None]
+        return v * z_scales[:, None]
+
+    drift = {}
+    for k_, v in c.items():
+        if k_ in ("x0", "x1", "dx", "x2"):
+            drift[k_] = rescale_vec(v)
+        elif k_ in ("Rinf_0", "delta_Rinf", "induc", "sigma_res", "R_rq"):
+            drift[k_] = v * z_scales
+        elif not k_.startswith(("ups_", "d_strength_")):
+            drift[k_] = v          # time constants, exponents, error alphas
+    static_key = "x1" if drift_model.endswith("from-final") else "x0"
+    diagnostics = {"value": value, "n_iter": n_it,
+                   "median_rel_resid": med_resid,
+                   "drift_model": drift_model, "drift": drift}
+    if shard_layout is not None:
+        diagnostics["shard_layout"] = shard_layout
+    return BatchFitResult(
+        coef=drift.get(static_key, drift.get("x0")),
+        r_inf=drift["Rinf_0"], inductance=drift["induc"],
+        gamma_lo=None, gamma_hi=None, z_scales=z_scales, tau=tau,
+        epsilon=eps, diagnostics=diagnostics, basis=basis)
+
+
 def evaluate_gamma(result: BatchFitResult, eval_tau, which: str = "coef"):
     """gamma(tau) curves for every spectrum in a batch result, using the
     basis family the fit was built with (result.basis)."""

@@ -489,6 +489,50 @@ def test_batch_apis_accept_ascending_frequencies():
     np.testing.assert_array_equal(m_asc.coef, m_desc.coef)
 
 
+def test_drift_batch_fits_fleet():
+    """drift_fit_spectra_batch: B drifting cells on one sweep schedule fit
+    in one program (the fleet form of Inverter.drift_map_fit, reference:
+    inversion.py:1291-1564). Gated the same way the single-spectrum drift
+    tests are: the fitted drift trajectory reproduces each cell's data."""
+    from bayes_drt_tpu.parallel import drift_fit_spectra_batch
+
+    rng = np.random.default_rng(0)
+    base_freq = np.logspace(5, -1, 31)
+    freq = np.tile(base_freq, 3)
+    times = np.linspace(0, 3 * 1800.0, len(freq))
+    omega = 2 * np.pi * freq
+    Zb = []
+    for s in (0.3, 0.7):
+        z_static = 1.0 + 1.0 / (1 + (1j * omega * 1e-3) ** 0.85)
+        f_t = 1 - np.exp(-times / 600.0)
+        z = z_static + f_t * (s / (1 + (1j * omega * 0.05) ** 0.9))
+        z += 0.001 * (rng.standard_normal(len(z))
+                      + 1j * rng.standard_normal(len(z)))
+        Zb.append(z)
+
+    res = drift_fit_spectra_batch(freq, times, np.array(Zb),
+                                  drift_model="x1", random_seed=0,
+                                  n_restarts=1, min_tau_drift=100.0,
+                                  max_iter=1200)
+    d = res.diagnostics
+    assert res.coef.shape == (2, len(res.tau))
+    assert np.isfinite(res.coef).all()
+    # the fitted time-evolution reproduces the data (same gate as
+    # tests/test_drift.py::test_drift_x1_fit)
+    assert (d["median_rel_resid"] < 0.05).all(), d["median_rel_resid"]
+    # drift params present, rescaled, and within their bounds
+    drift = d["drift"]
+    for key in ("x0", "x1", "tau_1", "tau_Rinf", "Rinf_0", "induc"):
+        assert key in drift, key
+    assert (drift["tau_1"] >= 100.0).all() and (drift["tau_1"] <= 1e4).all()
+    # validation errors mirror the single path
+    with pytest.raises(ValueError, match="drift_model"):
+        drift_fit_spectra_batch(freq, times, np.array(Zb),
+                                drift_model="bogus")
+    with pytest.raises(ValueError, match="same length"):
+        drift_fit_spectra_batch(freq, times[:-1], np.array(Zb))
+
+
 def test_batch_ridge_f32_real_instrument_spectrum():
     """Regression: the PDAC ZPlot spectrum (|Z| spanning 1.4e3..1e7 ohms)
     NaN'd the f32 batch ridge outright — cond(P) ~6e13 before the QP's
