@@ -111,6 +111,19 @@ def cmd_fit(args):
     from .parallel import (evaluate_gamma, fit_spectra_batch, make_mesh,
                            ridge_fit_spectra_batch)
 
+    cv_lams = None
+    if args.ridge_cv:
+        try:
+            lo, hi, n_cv = args.cv_grid.split(",")
+            lo, hi, n_cv = float(lo), float(hi), int(n_cv)
+            if not (0 < lo < hi and n_cv >= 2):
+                raise ValueError
+        except ValueError:
+            print("invalid --cv-grid: expected lo,hi,n with 0 < lo < hi "
+                  "and n >= 2 (e.g. 1e-7,1e2,19)", file=sys.stderr)
+            return 2
+        cv_lams = np.logspace(np.log10(lo), np.log10(hi), n_cv)
+
     files = _expand_paths(args.paths, args.pattern)
     if not files:
         print("no input files matched", file=sys.stderr)
@@ -139,11 +152,6 @@ def cmd_fit(args):
                 print("note: --outliers applies to sample/optimize modes; "
                       "for outlier-robust ridge use the hyper-weights API",
                       file=sys.stderr)
-            cv_lams = None
-            if args.ridge_cv:
-                lo, hi, n_cv = args.cv_grid.split(",")
-                cv_lams = np.logspace(np.log10(float(lo)),
-                                      np.log10(float(hi)), int(n_cv))
             res = ridge_fit_spectra_batch(freq, Zb, mesh=mesh,
                                           cv_lambdas=cv_lams)
         elif args.mode == "optimize":

@@ -1212,7 +1212,8 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     summed squared prediction errors pick the per-spectrum argmin, and the
     final both-part fit runs at the selected lambda. The whole
     (L lambdas x B spectra x 2 parts + final) sweep is ONE cached XLA
-    program: a lax.scan over the grid around the vmapped solver.
+    program: per spectrum, a lax.scan over the grid (reusing the
+    lambda-invariant weighted design), vmapped over the batch.
     Diagnostics gain ``cv_lambda`` (B,), ``cv_recv``/``cv_imcv``/
     ``cv_totcv`` (B, L); a warning fires if any spectrum selects a grid
     boundary (same semantics as the reference's single-spectrum warning)."""
@@ -1327,44 +1328,45 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
         cfg_re = cfg._replace(part="real")
         cfg_im = cfg._replace(part="imag")
 
-        def cv_errors_one(lam, t_re, t_im, wr, wi, *sh):
-            """Held-out prediction errors at one lambda: fit on one part,
-            score the other, unweighted (reference: inversion.py:906-921;
-            dead columns — inductance in the real fit, R_inf in the imag
-            fit — are pinned to 0 by assemble_qp, mirroring the
-            reference's post-solve overwrite)."""
-            data = make_data(t_re, t_im, wr, wi, *sh)
-            A_re_j, A_im_j = sh[0], sh[1]
-            coef_r = solve_at(cfg_re, "real", data, lam).coef
-            coef_i = solve_at(cfg_im, "imag", data, lam).coef
-            # part-specific offset recovery (reference: inversion.py:854-873,
-            # mirrored from the single-spectrum path): the imag-only fit
-            # cannot see R_inf — recover it as the mean real residual; the
-            # real-only fit cannot see the inductance — project the imag
-            # residual onto the omega column
-            coef_i = coef_i.at[0].set(
-                jnp.mean(t_re - A_re_j[:, 2:] @ coef_i[2:]))
-            bvec = A_im_j[:, 1]
-            zi_resid = t_im - A_im_j[:, 2:] @ coef_r[2:]
-            coef_r = coef_r.at[1].set((bvec @ zi_resid) / (bvec @ bvec))
-            imcv = jnp.sum((t_im - A_im_j @ coef_r) ** 2)
-            recv = jnp.sum((t_re - A_re_j @ coef_i) ** 2)
-            return recv, imcv
-
-        def cv_program(t_re, t_im, wr, wi, *sh_and_grid):
+        def cv_fit_one(t_re, t_im, wr, wi, *sh_and_grid):
+            """Full CV for one spectrum: grid sweep (lax.scan), per-spectrum
+            argmin, final both-part fit. The RidgeData is built ONCE — it is
+            lambda-invariant — and the scan reuses it."""
             sh, grid = sh_and_grid[:-1], sh_and_grid[-1]
-            err_fn = jax.vmap(cv_errors_one,
-                              in_axes=(None, 0, 0, 0, 0) + (None,) * 8)
+            A_re_j, A_im_j = sh[0], sh[1]
+            data = make_data(t_re, t_im, wr, wi, *sh)
 
             def per_lam(carry, lam):
-                return carry, err_fn(lam, t_re, t_im, wr, wi, *sh)
+                # held-out prediction errors at one lambda: fit on one part,
+                # score the other, unweighted (reference: inversion.py:
+                # 906-921). Part-specific offset recovery (854-873): the
+                # imag-only fit cannot see R_inf — recover it as the mean
+                # real residual; the real-only fit cannot see the inductance
+                # — project the imag residual onto the omega column.
+                coef_r = solve_at(cfg_re, "real", data, lam).coef
+                coef_i = solve_at(cfg_im, "imag", data, lam).coef
+                coef_i = coef_i.at[0].set(
+                    jnp.mean(t_re - A_re_j[:, 2:] @ coef_i[2:]))
+                bvec = A_im_j[:, 1]
+                zi_resid = t_im - A_im_j[:, 2:] @ coef_r[2:]
+                coef_r = coef_r.at[1].set((bvec @ zi_resid) / (bvec @ bvec))
+                imcv = jnp.sum((t_im - A_im_j @ coef_r) ** 2)
+                recv = jnp.sum((t_re - A_re_j @ coef_i) ** 2)
+                return carry, (recv, imcv)
 
-            _, (recv_L, imcv_L) = jax.lax.scan(per_lam, 0, grid)
-            lam_star = grid[jnp.argmin(recv_L + imcv_L, axis=0)]   # (B,)
-            coef, n_iter, conv = jax.vmap(
-                fit_one, in_axes=(0, 0, 0, 0, 0) + (None,) * 8)(
-                    lam_star, t_re, t_im, wr, wi, *sh)
-            return coef, n_iter, conv, lam_star, recv_L.T, imcv_L.T
+            _, (recv, imcv) = jax.lax.scan(per_lam, 0, grid)   # (L,) each
+            # select by INDEX (f32-safe: comparing recovered lambda values
+            # against grid endpoints would need a dtype-aware tolerance)
+            idx = jnp.argmin(recv + imcv)
+            lam_star = grid[idx]
+            res = solve_at(cfg, "both", data, lam_star)
+            return (res.coef, res.n_iter, res.converged, lam_star,
+                    recv, imcv, idx.astype(jnp.int32))
+
+        def cv_program(t_re, t_im, wr, wi, *sh_and_grid):
+            return jax.vmap(cv_fit_one,
+                            in_axes=(0, 0, 0, 0) + (None,) * 9)(
+                t_re, t_im, wr, wi, *sh_and_grid)
 
         shared = shared + (jnp.asarray(cv_lams, dtype),)
         prog_key = ("ridge_cv_spectra_batch", cfg, bool(hyper_lambda),
@@ -1397,10 +1399,11 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
         lam_sel = np.asarray(out[3])[:b_real].astype(float)
         recv = np.asarray(out[4])[:b_real]
         imcv = np.asarray(out[5])[:b_real]
+        idx_sel = np.asarray(out[6])[:b_real]
         diagnostics.update(cv_lambda=lam_sel, cv_recv=recv, cv_imcv=imcv,
                            cv_totcv=recv + imcv)
-        n_boundary = int(np.sum((lam_sel <= cv_lams.min() * (1 + 1e-12))
-                                | (lam_sel >= cv_lams.max() / (1 + 1e-12))))
+        n_boundary = int(np.sum((idx_sel == 0)
+                                | (idx_sel == len(cv_lams) - 1)))
         if n_boundary:
             warnings.warn(
                 f"Re-Im CV selected a boundary lambda for {n_boundary} "
@@ -1530,6 +1533,18 @@ def drift_fit_spectra_batch(frequencies, times, Z_batch, drift_model="x1",
     # recommended drift workflow (inversion.py:1411-1432), one BATCHED
     # hyper-lambda ridge pass for the whole fleet
     pos_x = nonneg or dist_type == "parallel"
+    if init_from_ridge and (info.get("kernel", "DRT") != "DRT"
+                            or dist_type != "series"):
+        # ridge_fit_spectra_batch builds series-DRT design matrices; its
+        # coefficients live in a different space than a parallel/DDT drift
+        # fit's, so seeding from them would start the optimizer nowhere
+        # useful (the single-spectrum path ridge-fits the actual kernel,
+        # inverter.py drift_map_fit). Fall back to neutral inits.
+        warnings.warn(
+            "init_from_ridge seeds from a series-DRT ridge fit, which does "
+            "not match this distribution's coefficient space; using neutral "
+            "inits instead — consider raising n_restarts.")
+        init_from_ridge = False
     if init_from_ridge:
         rr = ridge_fit_spectra_batch(
             frequencies, Z_batch, basis_freq=1.0 / (2 * np.pi * tau),
@@ -1572,10 +1587,14 @@ def drift_fit_spectra_batch(frequencies, times, Z_batch, drift_model="x1",
                                       rand.value, jnp.inf))
             rand_p = jax.tree.map(lambda a: a[ib], rand.params)
             rand_v = rand.value[ib]
-            take_ridge = best.value <= rand_v
+            # NaN-aware selection: a diverged (NaN) run must never beat a
+            # finite one, in either direction
+            bv = jnp.where(jnp.isfinite(best.value), best.value, jnp.inf)
+            rv = jnp.where(jnp.isfinite(rand_v), rand_v, jnp.inf)
+            take_ridge = bv <= rv
             params = jax.tree.map(
                 lambda a, r: jnp.where(take_ridge, a, r), best.params, rand_p)
-            value = jnp.minimum(best.value, rand_v)
+            value = jnp.where(take_ridge, best.value, rand_v)
             n_it = jnp.where(take_ridge, best.n_iter, rand.n_iter[ib])
         else:
             params, value, n_it = best.params, best.value, best.n_iter
@@ -1607,8 +1626,11 @@ def drift_fit_spectra_batch(frequencies, times, Z_batch, drift_model="x1",
         return jax.jit(fn)
 
     if mesh is not None:
-        shd = NamedSharding(mesh, P("spectra", None))
-        mapped = tuple(jax.device_put(a, shd) for a in mapped)
+        # per-array specs: iv_rinf/iv_induc are rank-1, the rest rank-2
+        mapped = tuple(
+            jax.device_put(a, NamedSharding(
+                mesh, P(*(("spectra",) + (None,) * (a.ndim - 1)))))
+            for a in mapped)
     batched = _cached_program(prog_key, build_fit)
     c, value, n_it, med_resid = batched(*mapped, data)
 
@@ -1655,11 +1677,20 @@ def drift_fit_spectra_batch(frequencies, times, Z_batch, drift_model="x1",
 
 def evaluate_gamma(result: BatchFitResult, eval_tau, which: str = "coef"):
     """gamma(tau) curves for every spectrum in a batch result, using the
-    basis family the fit was built with (result.basis)."""
+    basis family the fit was built with (result.basis).
+
+    ``which``: 'coef' (point estimate / posterior mean), 'lo'/'hi'
+    (credible-band edges), or a diagnostics key holding a coefficient
+    array — e.g. 'coef_1' for the second distribution of a multidist
+    batch fit (all distributions share the result's tau/epsilon grid
+    when built from one basis_freq)."""
     from ..ops.basis import get_basis_func
     eval_tau = np.asarray(eval_tau, float)
-    coefs = {"coef": result.coef, "lo": result.gamma_lo,
-             "hi": result.gamma_hi}[which]
+    if which in ("coef", "lo", "hi"):
+        coefs = {"coef": result.coef, "lo": result.gamma_lo,
+                 "hi": result.gamma_hi}[which]
+    else:
+        coefs = result.diagnostics[which]
     phi = get_basis_func(getattr(result, "basis", "gaussian"))
     y = np.log(eval_tau[:, None] / result.tau[None, :])
     bases = np.asarray(phi(y, result.epsilon))

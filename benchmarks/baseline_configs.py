@@ -152,12 +152,11 @@ def main():
 
         if name == "hmc-multidist-sp":
             # gate BOTH recovered distributions against the committed truth
-            from bayes_drt_tpu.ops.basis import get_basis_func
+            # (both dists share one basis grid, so evaluate_gamma covers the
+            # second via its diagnostics key)
             tau_q = gt_sp["tau"].values
-            y = np.log(tau_q[:, None] / np.asarray(res.tau)[None, :])
-            bases = np.asarray(get_basis_func(res.basis)(y, res.epsilon))
-            g_drt = np.asarray(res.coef) @ bases.T
-            g_tp = np.asarray(res.diagnostics["coef_1"]) @ bases.T
+            g_drt = evaluate_gamma(res, tau_q)
+            g_tp = evaluate_gamma(res, tau_q, which="coef_1")
             for label, gb, col in (("gamma", g_drt, "gamma"),
                                    ("ftp", g_tp, "ftp")):
                 truth = gt_sp[col].values

@@ -531,6 +531,19 @@ def test_drift_batch_fits_fleet():
                                 drift_model="bogus")
     with pytest.raises(ValueError, match="same length"):
         drift_fit_spectra_batch(freq, times[:-1], np.array(Zb))
+    # mesh path: rank-1 init arrays must shard too, layout proof recorded
+    mesh = make_mesh(8)
+    res_m = drift_fit_spectra_batch(freq, times, np.array(Zb),
+                                    drift_model="x1", random_seed=0,
+                                    n_restarts=1, min_tau_drift=100.0,
+                                    max_iter=1200, mesh=mesh)
+    layout = res_m.diagnostics["shard_layout"]
+    assert len({dev for dev, _, _ in layout}) == 8, layout
+    # the sharded program is a different XLA compilation; after 1200
+    # L-BFGS steps on a nonconvex posterior FP-association differences
+    # compound, so gate on fit QUALITY, not coefficient equality
+    assert (res_m.diagnostics["median_rel_resid"] < 0.05).all(), \
+        res_m.diagnostics["median_rel_resid"]
 
 
 def test_batch_ridge_f32_real_instrument_spectrum():
