@@ -40,6 +40,13 @@ print(f"batched ridge: {time.time() - t0:.2f} s "
       f"({(time.time() - t0) / len(Zb) * 1e3:.0f} ms/spectrum incl. compile)")
 print("R_inf:", np.round(res.r_inf, 3))
 
+# per-spectrum lambda selection by Re-Im cross-validation: the whole
+# (grid x batch x 2 part-fits + final fit) sweep is one XLA program
+res_cv = ridge_fit_spectra_batch(freq, Zb,
+                                 cv_lambdas=np.logspace(-5, 1, 7))
+print("CV-selected lambda per spectrum:",
+      np.round(np.log10(res_cv.diagnostics["cv_lambda"]), 1))
+
 # --- batched MAP ---
 t0 = time.time()
 res_map = fit_spectra_batch(freq, Zb, mode="optimize", n_restarts=2)
