@@ -1070,18 +1070,39 @@ class Inverter:
         self.distribution_matrices[dist_name].update(A_re=A_re, A_im=A_im)
         self.f_pred = None
 
-        loss = lambda p: -drift_log_density(cfg, data, p, jacobian=False)
-
+        # cross-call program cache, same discipline as fit(): DriftData and
+        # the ridge-init values ride as jit ARGUMENTS keyed on shapes, so a
+        # sweep of same-schedule drift fits pays Python tracing once
         key0 = jax.random.PRNGKey(random_seed)
-        p_ridge = init_drift_params(cfg, data, key0, init_values=ridge_init)
-        res_ridge = run_lbfgs(loss, p_ridge, max_iter=max_iter)
-        init_fn = lambda k: init_drift_params(cfg, data, k)
-        res_rand = run_lbfgs_restarts(loss, init_fn, key0, n_restarts,
-                                      max_iter=max_iter)
-        if float(res_ridge.value) <= float(res_rand.value):
-            res = res_ridge
-        else:
-            res = res_rand
+        iv_sig = (None if not ridge_init
+                  else (tuple(sorted(ridge_init)), data_shapes(ridge_init)))
+
+        def build_drift():
+            def solve(dat, k, iv=None):
+                loss = lambda p: -drift_log_density(cfg, dat, p,
+                                                    jacobian=False)
+                init_fn = lambda kk: init_drift_params(cfg, dat, kk)
+                r_rand = run_lbfgs_restarts(loss, init_fn, k, n_restarts,
+                                            max_iter=max_iter)
+                if iv is None:
+                    return r_rand
+                p0 = init_drift_params(cfg, dat, k, init_values=iv)
+                r_ridge = run_lbfgs(loss, p0, max_iter=max_iter)
+                # NaN-aware: a diverged run never beats a finite one
+                bv = jnp.where(jnp.isfinite(r_ridge.value), r_ridge.value,
+                               jnp.inf)
+                rv = jnp.where(jnp.isfinite(r_rand.value), r_rand.value,
+                               jnp.inf)
+                take = bv <= rv
+                return jax.tree.map(lambda a, b: jnp.where(take, a, b),
+                                    r_ridge, r_rand)
+            return jax.jit(solve)
+
+        runner = cached_program(
+            ("inverter_drift", cfg, data_shapes(data), max_iter, n_restarts,
+             iv_sig), build_drift)
+        iv_args = (ridge_init,) if ridge_init else ()
+        res = runner(data, key0, *iv_args)
         c = jax.tree.map(np.asarray, constrain_drift(cfg, data, res.params))
         self._drift_result = c
         self._drift_cfg = cfg
