@@ -75,7 +75,9 @@ def _fit_parser(sub):
     p.add_argument("--nonneg", action="store_true",
                    help="constrain the distribution non-negative")
     p.add_argument("--outliers", action="store_true",
-                   help="include the per-point outlier error contribution")
+                   help="sample/optimize: include the per-point outlier "
+                        "error contribution; ridge: use the outlier-robust "
+                        "hyper-weights iteration")
     p.add_argument("--centered", action="store_true",
                    help="sample the centered (strict Stan-coordinate) "
                         "parameterization instead of the non-centered "
@@ -123,6 +125,10 @@ def cmd_fit(args):
                   "and n >= 2 (e.g. 1e-7,1e2,19)", file=sys.stderr)
             return 2
         cv_lams = np.logspace(np.log10(lo), np.log10(hi), n_cv)
+        if args.outliers and args.mode == "ridge":
+            print("--ridge-cv and --outliers cannot be combined in ridge "
+                  "mode", file=sys.stderr)
+            return 2
 
     files = _expand_paths(args.paths, args.pattern)
     if not files:
@@ -149,11 +155,13 @@ def cmd_fit(args):
         t0 = time.time()
         if args.mode == "ridge":
             if args.outliers:
-                print("note: --outliers applies to sample/optimize modes; "
-                      "for outlier-robust ridge use the hyper-weights API",
-                      file=sys.stderr)
-            res = ridge_fit_spectra_batch(freq, Zb, mesh=mesh,
-                                          cv_lambdas=cv_lams)
+                # Effat-Ciucci outlier-robust ridge (hyper-weights)
+                res = ridge_fit_spectra_batch(freq, Zb, mesh=mesh,
+                                              hyper_lambda=False,
+                                              hyper_weights=True)
+            else:
+                res = ridge_fit_spectra_batch(freq, Zb, mesh=mesh,
+                                              cv_lambdas=cv_lams)
         elif args.mode == "optimize":
             res = fit_spectra_batch(
                 freq, Zb, mode="optimize", max_iter=args.max_iter,

@@ -36,7 +36,8 @@ from ..infer.chees import (ChEESConfig, SHMCConfig, sample_chees,
 from ..infer.nuts import NUTSConfig, sample_nuts
 from ..infer.map import run_lbfgs
 from ..infer.ridge import (HyperLambdaConfig, RidgeData,
-                           run_hyper_lambda, run_ordinary_ridge)
+                           run_hyper_lambda, run_hyper_weights,
+                           run_ordinary_ridge)
 from ..progcache import (cached_program as _cached_program,
                          data_shapes, precise_matmuls)
 
@@ -1194,7 +1195,9 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
                             weights: str = "modulus", max_iter: int = 20,
                             xtol: float = 1e-3, mesh: Optional[Mesh] = None,
                             basis: str = "gaussian",
-                            dtype=None, cv_lambdas=None) -> BatchFitResult:
+                            dtype=None, cv_lambdas=None,
+                            hyper_weights: bool = False, hw_beta: float = 2.0,
+                            hw_wbar=1.0) -> BatchFitResult:
     """Batched (hyper-lambda or ordinary) ridge DRT fits: B spectra in one
     vmapped XLA program (vs the reference's ~0.1 s serial cvxopt solves,
     inversion.py:1043-1067). Shares one frequency/basis grid across the
@@ -1216,7 +1219,20 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     lambda-invariant weighted design), vmapped over the batch.
     Diagnostics gain ``cv_lambda`` (B,), ``cv_recv``/``cv_imcv``/
     ``cv_totcv`` (B, L); a warning fires if any spectrum selects a grid
-    boundary (same semantics as the reference's single-spectrum warning)."""
+    boundary (same semantics as the reference's single-spectrum warning).
+
+    ``hyper_weights=True`` (requires ``hyper_lambda=False``): the
+    Effat-Ciucci outlier-robust ridge (reference: inversion.py:757-833) —
+    MAP point weights iterate against the residuals so corrupted points
+    are down-weighted automatically. ``hw_wbar`` accepts the same weights
+    vocabulary as ``weights`` and sets the prior mean weights; the fitted
+    per-point weights land in ``diagnostics['weights_re'/'weights_im']``
+    (B, N) — small values mark outliers."""
+    if hyper_weights and hyper_lambda:
+        raise ValueError("hyper_lambda and hyper_weights fits cannot be "
+                         "combined; pass hyper_lambda=False")
+    if hyper_weights and cv_lambdas is not None:
+        raise ValueError("cv_lambdas is not supported with hyper_weights")
     Z_batch = np.asarray(Z_batch)
     # reorder data columns to the descending-frequency matrix convention
     f_order = np.argsort(np.asarray(frequencies, float))[::-1]
@@ -1308,7 +1324,35 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     dtype_key = str(np.dtype(np.float64 if dtype == jnp.float64
                              else np.float32))
 
-    if cv_lambdas is None:
+    if hyper_weights:
+        # outlier-robust ridge: the mapped weight rows carry the PRIOR mean
+        # weights (wbar); run_hyper_weights evolves the actual point weights
+        # against the residuals itself
+        wbar_re, wbar_im = _format_weights_batch(Zs, hw_wbar)
+        mapped = tuple(jnp.asarray(a, dtype)
+                       for a in (Zs.real, Zs.imag, wbar_re, wbar_im))
+        prog_key = ("ridge_hw_spectra_batch", cfg, float(hw_beta),
+                    float(lambda_0), float(xtol), int(max_iter), b,
+                    data_shapes(mapped + shared), dtype_key, mesh)
+
+        def build_fit():
+            def hw_one(t_re, t_im, wbr, wbi, *sh):
+                data = make_data(t_re, t_im, wbr, wbi, *sh)
+                A_re_j, A_im_j = sh[0], sh[1]
+                res = run_hyper_weights("both", data, A_re_j, A_im_j,
+                                        t_re, t_im, lambda_0, hw_beta,
+                                        wbr, wbi, max_iter=max_iter,
+                                        xtol=xtol)
+                return (res.coef, res.n_iter, res.converged,
+                        res.weights_re, res.weights_im)
+
+            fn = precise_matmuls(
+                jax.vmap(hw_one, in_axes=(0, 0, 0, 0) + (None,) * 8))
+            if mesh is not None:
+                return jax.jit(fn,
+                               out_shardings=NamedSharding(mesh, P("spectra")))
+            return jax.jit(fn)
+    elif cv_lambdas is None:
         prog_key = ("ridge_fit_spectra_batch", cfg, bool(hyper_lambda),
                     float(hl_beta), float(lambda_0), float(xtol), b,
                     data_shapes(mapped + shared), dtype_key, mesh)
@@ -1395,6 +1439,9 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
 
     coefs = coefs * z_scales[:, None]
     diagnostics = {"n_iter": n_iter, "converged": converged}
+    if hyper_weights:
+        diagnostics["weights_re"] = np.asarray(out[3])[:b_real]
+        diagnostics["weights_im"] = np.asarray(out[4])[:b_real]
     if cv_lambdas is not None:
         lam_sel = np.asarray(out[3])[:b_real].astype(float)
         recv = np.asarray(out[4])[:b_real]

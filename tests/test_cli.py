@@ -101,6 +101,21 @@ def test_cli_ridge_cv(data_dir, tmp_path):
     assert rmse < 0.10 * rp, rmse
 
 
+def test_cli_ridge_outliers(data_dir, tmp_path):
+    out = tmp_path / "out_hw"
+    rc = main(["fit", str(data_dir / "spec_0.csv"), "--out", str(out),
+               "--mode", "ridge", "--outliers"])
+    assert rc == 0
+    gt, rp = _ground_truth()
+    g = pd.read_csv(out / "Gout_spec_0.csv")
+    gi = np.interp(gt["tau"].values, g["tau"].values, g["gamma"].values)
+    rmse = np.sqrt(np.mean((gi - gt["gamma"].values) ** 2))
+    assert rmse < 0.20 * rp, rmse
+    # --ridge-cv and --outliers are mutually exclusive in ridge mode
+    assert main(["fit", str(data_dir / "spec_0.csv"), "--out", str(out),
+                 "--mode", "ridge", "--outliers", "--ridge-cv"]) == 2
+
+
 def test_cli_no_match(tmp_path):
     assert main(["fit", str(tmp_path), "--pattern", "*.nope"]) == 2
 

@@ -316,6 +316,42 @@ def test_ridge_batch_cv_hyper_lambda_batch():
                                 cv_lambdas=np.logspace(1, 3, 3))
 
 
+def test_ridge_batch_hyper_weights_downweights_outliers():
+    """Batched Effat-Ciucci outlier-robust ridge: corrupted points get
+    small fitted weights and the recovery stays clean (reference:
+    inversion.py:757-833, one spectrum at a time)."""
+    from bayes_drt_tpu import Inverter
+
+    freq, Zb = load_batch(b=3)
+    bad = np.array([7, 23])
+    Zb_bad = Zb.copy()
+    Zb_bad[:, bad] *= (1.35 - 0.3j)      # gross corruption
+    res = ridge_fit_spectra_batch(freq, Zb_bad, hyper_lambda=False,
+                                  hyper_weights=True, penalty="discrete",
+                                  lambda_0=1e-3)
+    d = res.diagnostics
+    w = np.abs(d["weights_re"] + 1j * d["weights_im"])   # (B, N)
+    # weights come back in the internal descending-frequency order
+    order = np.argsort(np.asarray(freq, float))[::-1]
+    bad_int = np.nonzero(np.isin(order, bad))[0]
+    # the corrupted points carry the SMALLEST weights in every spectrum
+    assert (np.sort(np.argsort(w, axis=1)[:, :2], axis=1)
+            == np.sort(bad_int)[None, :]).all(), w[:, bad_int]
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g = evaluate_gamma(res, gt["tau"].values)
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse = np.sqrt(np.mean((g - gt["gamma"].values[None, :]) ** 2, axis=1))
+    assert (rmse < 0.15 * rp).all(), rmse
+    # exact parity with the single-spectrum path (machine precision)
+    inv = Inverter()
+    inv.ridge_fit(freq, Zb_bad[0], hyper_lambda=False, hyper_weights=True,
+                  penalty="discrete", lambda_0=1e-3)
+    w_s = np.abs(inv.distribution_fits["DRT"]["weights"])
+    np.testing.assert_allclose(w[0], w_s[order], rtol=1e-10, atol=1e-12)
+    with pytest.raises(ValueError, match="cannot be combined"):
+        ridge_fit_spectra_batch(freq, Zb_bad, hyper_weights=True)
+
+
 def test_ridge_batch_program_cached_across_calls():
     """Second call with identical shapes must reuse the cached program —
     the round-2 'NEVER close a fresh jit over big arrays per call' rule."""
