@@ -415,31 +415,43 @@ def run_hyper_weights(part: str, data: RidgeData, A_re, A_im, T_re, T_im,
     if delta_mask is None:
         delta_mask = jnp.ones((k,), dtype)
 
-    def solve_with(w_re, w_im):
+    def assemble_with(w_re, w_im):
         d = data._replace(WA_re=w_re[:, None] * A_re, WA_im=w_im[:, None] * A_im,
                           WT_re=w_re * T_re, WT_im=w_im * T_im)
-        P, q = assemble_qp(part, d, L2_mat)
-        return solve_qp_box(P, q, data.lb, data.ub, max_iter=qp_iter).x, P, q
+        return assemble_qp(part, d, L2_mat)
 
     def body(state):
-        coef, w_re, w_im, it, _ = state
+        coef, w_re, w_im, it, _, at_lb, at_ub = state
         new_w_re, new_w_im = hyper_weights_update(coef, A_re, A_im, T_re, T_im,
                                                   hw_beta, wbar_re, wbar_im)
         w_re = jnp.where(it > 0, new_w_re, w_re)
         w_im = jnp.where(it > 0, new_w_im, w_im)
-        new_coef, _, _ = solve_with(w_re, w_im)
+        P, q = assemble_with(w_re, w_im)
+        # warm-start the QP with the previous outer iteration's active set:
+        # the weights move slowly between iterations, so the re-solve
+        # typically pivots 1-3 times instead of a cold start's ~14 (same
+        # scheme as the hyper-lambda loop above)
+        x_uncon = _spd_solve(P, -q)
+        cold_lb = x_uncon < data.lb
+        cold_ub = x_uncon > data.ub
+        warm = (jnp.where(it > 0, at_lb, cold_lb),
+                jnp.where(it > 0, at_ub, cold_ub))
+        res_qp = solve_qp_box(P, q, data.lb, data.ub, max_iter=qp_iter,
+                              warm_sets=warm)
+        new_coef = res_qp.x
         safe_prev = jnp.where(jnp.abs(coef) > 0, coef, 1.0)
         delta = jnp.mean(jnp.abs((new_coef - coef) / safe_prev * delta_mask))
-        return new_coef, w_re, w_im, it + 1, delta
+        return (new_coef, w_re, w_im, it + 1, delta,
+                res_qp.at_lb, res_qp.at_ub)
 
     def cond(state):
-        _, _, _, it, delta = state
-        return jnp.logical_and(it < max_iter, delta >= xtol)
+        return jnp.logical_and(state[3] < max_iter, state[4] >= xtol)
 
     coef0 = jnp.full((k,), 1e-6, dtype)
     init = (coef0, wbar_re, wbar_im, jnp.asarray(0, jnp.int32),
-            jnp.asarray(jnp.inf, dtype))
-    coef, w_re, w_im, it, delta = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(jnp.inf, dtype),
+            jnp.zeros((k,), bool), jnp.zeros((k,), bool))
+    coef, w_re, w_im, it, delta, _, _ = jax.lax.while_loop(cond, body, init)
     d_final = data._replace(WA_re=w_re[:, None] * A_re,
                             WA_im=w_im[:, None] * A_im,
                             WT_re=w_re * T_re, WT_im=w_im * T_im)
