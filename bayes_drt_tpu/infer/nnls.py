@@ -60,6 +60,28 @@ def _masked_solve(P, q, at_lb, at_ub, lb, ub):
     return _spd_solve(M, rhs)
 
 
+def qp_cold_sets(P, q, lb, ub):
+    """The active set implied by the clipped unconstrained solution — the
+    same cold start solve_qp_box uses internally, incl. the Jacobi
+    equilibration (the raw f32 Cholesky can NaN at cond ~1e12; the boolean
+    sets are invariant to the diagonal scaling since d > 0). For outer
+    loops that seed their own warm starts (hyper-lambda / hyper-weights
+    ridge): compute the first iteration's sets with THIS, not a raw
+    _spd_solve."""
+    k = P.shape[0]
+    dtype = P.dtype
+    lb = jnp.broadcast_to(jnp.asarray(lb, dtype=dtype), (k,))
+    ub = jnp.broadcast_to(jnp.asarray(ub, dtype=dtype), (k,))
+    diag = jnp.diagonal(P)
+    d = jnp.where(diag > jnp.finfo(dtype).tiny, 1.0 / jnp.sqrt(diag), 1.0)
+    Ps = d[:, None] * P * d[None, :]
+    Ps = 0.5 * (Ps + Ps.T)
+    if dtype == jnp.float32:
+        Ps = Ps + (100.0 * jnp.finfo(dtype).eps) * jnp.eye(k, dtype=dtype)
+    x0 = jnp.nan_to_num(_spd_solve(Ps, -(d * q)))
+    return x0 < lb / d, x0 > ub / d
+
+
 @partial(jax.jit, static_argnames=("max_iter",))
 @precise_matmuls
 def solve_qp_box(P, q, lb, ub, max_iter: int = 100, tol: float = 1e-10,

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..progcache import precise_matmuls
 
-from .nnls import _spd_solve, solve_qp_box
+from .nnls import _spd_solve, qp_cold_sets, solve_qp_box
 
 
 class RidgeData(NamedTuple):
@@ -353,12 +353,13 @@ def run_hyper_lambda(cfg: HyperLambdaConfig, data: RidgeData, x0,
         # warm-start the QP with the previous outer iteration's active set:
         # lambda moves slowly between iterations, so the re-solve typically
         # pivots 1-3 times instead of the cold start's ~14. The first outer
-        # iteration falls back to the cold (unconstrained-clip) sets.
-        x_uncon = _spd_solve(P, -q)
-        cold_lb = x_uncon < data.lb
-        cold_ub = x_uncon > data.ub
-        warm = (jnp.where(state.it > 0, state.at_lb, cold_lb),
-                jnp.where(state.it > 0, state.at_ub, cold_ub))
+        # iteration falls back to the cold (unconstrained-clip) sets,
+        # computed with solve_qp_box's own equilibration (a raw f32
+        # Cholesky NaNs at high cond) and only when actually needed.
+        warm = jax.lax.cond(
+            state.it > 0,
+            lambda: (state.at_lb, state.at_ub),
+            lambda: qp_cold_sets(P, q, data.lb, data.ub))
         res_qp = solve_qp_box(P, q, data.lb, data.ub, max_iter=cfg.qp_iter,
                               warm_sets=warm)
         coef = res_qp.x
@@ -430,12 +431,12 @@ def run_hyper_weights(part: str, data: RidgeData, A_re, A_im, T_re, T_im,
         # warm-start the QP with the previous outer iteration's active set:
         # the weights move slowly between iterations, so the re-solve
         # typically pivots 1-3 times instead of a cold start's ~14 (same
-        # scheme as the hyper-lambda loop above)
-        x_uncon = _spd_solve(P, -q)
-        cold_lb = x_uncon < data.lb
-        cold_ub = x_uncon > data.ub
-        warm = (jnp.where(it > 0, at_lb, cold_lb),
-                jnp.where(it > 0, at_ub, cold_ub))
+        # scheme as the hyper-lambda loop above; equilibrated cold sets,
+        # computed only on the first iteration)
+        warm = jax.lax.cond(
+            it > 0,
+            lambda: (at_lb, at_ub),
+            lambda: qp_cold_sets(P, q, data.lb, data.ub))
         res_qp = solve_qp_box(P, q, data.lb, data.ub, max_iter=qp_iter,
                               warm_sets=warm)
         new_coef = res_qp.x

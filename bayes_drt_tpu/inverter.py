@@ -1084,18 +1084,20 @@ class Inverter:
                 init_fn = lambda kk: init_drift_params(cfg, dat, kk)
                 r_rand = run_lbfgs_restarts(loss, init_fn, k, n_restarts,
                                             max_iter=max_iter)
-                if iv is None:
-                    return r_rand
+                # the ridge-seeded candidate — or, when ridge init failed,
+                # one extra default-init candidate from key k (a key the
+                # restart split does not produce), matching the pre-cache
+                # candidate pool
                 p0 = init_drift_params(cfg, dat, k, init_values=iv)
-                r_ridge = run_lbfgs(loss, p0, max_iter=max_iter)
+                r_seed = run_lbfgs(loss, p0, max_iter=max_iter)
                 # NaN-aware: a diverged run never beats a finite one
-                bv = jnp.where(jnp.isfinite(r_ridge.value), r_ridge.value,
+                bv = jnp.where(jnp.isfinite(r_seed.value), r_seed.value,
                                jnp.inf)
                 rv = jnp.where(jnp.isfinite(r_rand.value), r_rand.value,
                                jnp.inf)
                 take = bv <= rv
                 return jax.tree.map(lambda a, b: jnp.where(take, a, b),
-                                    r_ridge, r_rand)
+                                    r_seed, r_rand)
             return jax.jit(solve)
 
         runner = cached_program(

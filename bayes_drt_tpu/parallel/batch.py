@@ -1225,9 +1225,11 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     Effat-Ciucci outlier-robust ridge (reference: inversion.py:757-833) —
     MAP point weights iterate against the residuals so corrupted points
     are down-weighted automatically. ``hw_wbar`` accepts the same weights
-    vocabulary as ``weights`` and sets the prior mean weights; the fitted
-    per-point weights land in ``diagnostics['weights_re'/'weights_im']``
-    (B, N) — small values mark outliers."""
+    vocabulary as ``weights`` and sets the prior mean weights (the
+    likelihood ``weights`` argument is unused in this mode, mirroring the
+    single-spectrum API); the fitted per-point weights land in
+    ``diagnostics['weights_re'/'weights_im']`` (B, N), **in the caller's
+    point order** — small values mark outliers."""
     if hyper_weights and hyper_lambda:
         raise ValueError("hyper_lambda and hyper_weights fits cannot be "
                          "combined; pass hyper_lambda=False")
@@ -1288,7 +1290,11 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
 
     z_scales = np.std(np.abs(Z_batch), axis=1) / np.sqrt(n / 81)
     Zs = Z_batch / z_scales[:, None]
-    w_re, w_im = _format_weights_batch(Zs, weights)
+    # with hyper_weights the point weights EVOLVE during the fit (prior
+    # mean set by hw_wbar) and the likelihood `weights` argument is unused
+    # — mirror the single-spectrum API, skip building it
+    if not hyper_weights:
+        w_re, w_im = _format_weights_batch(Zs, weights)
 
     lb = np.zeros(k) if nonneg else np.concatenate([np.zeros(2),
                                                     np.full(kb, -10.0)])
@@ -1316,8 +1322,9 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
         res = solve_at(cfg, "both", data, lam)
         return res.coef, res.n_iter, res.converged
 
-    mapped = tuple(jnp.asarray(a, dtype)
-                   for a in (Zs.real, Zs.imag, w_re, w_im))
+    if not hyper_weights:
+        mapped = tuple(jnp.asarray(a, dtype)
+                       for a in (Zs.real, Zs.imag, w_re, w_im))
     shared = tuple(jnp.asarray(a, dtype)
                    for a in (A_re, A_im, np.array(L2_base), np.array(L_ops),
                              np.zeros(k), frac, lb, ub))
@@ -1440,8 +1447,13 @@ def ridge_fit_spectra_batch(frequencies, Z_batch, basis_freq=None,
     coefs = coefs * z_scales[:, None]
     diagnostics = {"n_iter": n_iter, "converged": converged}
     if hyper_weights:
-        diagnostics["weights_re"] = np.asarray(out[3])[:b_real]
-        diagnostics["weights_im"] = np.asarray(out[4])[:b_real]
+        # return per-point weights in the CALLER's point order (the batch
+        # reorders columns to descending frequency internally; a user
+        # locating outliers via argmin must not need to know that)
+        inv_order = np.empty_like(f_order)
+        inv_order[f_order] = np.arange(len(f_order))
+        diagnostics["weights_re"] = np.asarray(out[3])[:b_real][:, inv_order]
+        diagnostics["weights_im"] = np.asarray(out[4])[:b_real][:, inv_order]
     if cv_lambdas is not None:
         lam_sel = np.asarray(out[3])[:b_real].astype(float)
         recv = np.asarray(out[4])[:b_real]

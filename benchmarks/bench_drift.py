@@ -73,7 +73,7 @@ def main():
     s_best = float("inf")
     for rep in range(2):
         t0 = time.time()
-        inv.drift_map_fit(freq, Zb[rep + 1], times,
+        inv.drift_map_fit(freq, Zb[min(rep + 1, B - 1)], times,
                           **{**kw, "random_seed": 1 + rep})
         s_best = min(s_best, time.time() - t0)
     print(f"serial single-cell: {s_best:.2f}s -> {B} cells ~ "

@@ -331,12 +331,10 @@ def test_ridge_batch_hyper_weights_downweights_outliers():
                                   lambda_0=1e-3)
     d = res.diagnostics
     w = np.abs(d["weights_re"] + 1j * d["weights_im"])   # (B, N)
-    # weights come back in the internal descending-frequency order
-    order = np.argsort(np.asarray(freq, float))[::-1]
-    bad_int = np.nonzero(np.isin(order, bad))[0]
-    # the corrupted points carry the SMALLEST weights in every spectrum
+    # weights come back in the CALLER's point order: the corrupted points
+    # carry the SMALLEST weights in every spectrum, at their raw indices
     assert (np.sort(np.argsort(w, axis=1)[:, :2], axis=1)
-            == np.sort(bad_int)[None, :]).all(), w[:, bad_int]
+            == np.sort(bad)[None, :]).all(), w[:, bad]
     gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
     g = evaluate_gamma(res, gt["tau"].values)
     rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
@@ -347,7 +345,17 @@ def test_ridge_batch_hyper_weights_downweights_outliers():
     inv.ridge_fit(freq, Zb_bad[0], hyper_lambda=False, hyper_weights=True,
                   penalty="discrete", lambda_0=1e-3)
     w_s = np.abs(inv.distribution_fits["DRT"]["weights"])
-    np.testing.assert_allclose(w[0], w_s[order], rtol=1e-10, atol=1e-12)
+    order = np.argsort(np.asarray(freq, float))[::-1]
+    np.testing.assert_allclose(w[0][order], w_s[order],
+                               rtol=1e-10, atol=1e-12)
+    # ascending-frequency input: same weights, still in the caller's order
+    res_a = ridge_fit_spectra_batch(freq[::-1].copy(),
+                                    Zb_bad[:, ::-1].copy(),
+                                    hyper_lambda=False, hyper_weights=True,
+                                    penalty="discrete", lambda_0=1e-3)
+    w_a = np.abs(res_a.diagnostics["weights_re"]
+                 + 1j * res_a.diagnostics["weights_im"])
+    np.testing.assert_allclose(w_a, w[:, ::-1], rtol=1e-8, atol=1e-10)
     with pytest.raises(ValueError, match="cannot be combined"):
         ridge_fit_spectra_batch(freq, Zb_bad, hyper_weights=True)
 
