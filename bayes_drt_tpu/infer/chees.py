@@ -445,6 +445,12 @@ class SHMCConfig(NamedTuple):
                                   # multinomial-selected, so running above
                                   # the most timid chain's eps trades some
                                   # wasted trajectory for faster mixing.
+    pallas_traj: bool = False     # run each draw's whole trajectory as ONE
+                                  # fused Pallas kernel with the chain-state
+                                  # block VMEM-resident (infer/shmc_flat.py).
+                                  # Batch API only (fit_spectra_batch);
+                                  # single-series-DRT models only.
+    traj_block: int = 256         # chain rows per Pallas grid step
 
 
 @partial(jax.jit, static_argnames=("logp_fn", "warmup", "samples", "cfg"))

@@ -311,6 +311,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     _, unravel = ravel_pytree(template)
     key = jax.random.PRNGKey(random_seed)
     spectrum_keys = jax.random.split(key, b)
+    flat_fit = None        # set by the shmc pallas_traj path
 
     def logp_for(dat, target):
         d = dat._replace(target=target)
@@ -365,6 +366,44 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
 
         if sampler == "shmc":
             sh_cfg = shmc_cfg if shmc_cfg is not None else SHMCConfig()
+            flat_fit = None
+            if sh_cfg.pallas_traj:
+                # ---- fused-trajectory path: ONE flat (B*chains, D) chain
+                # axis, each draw's whole trajectory a single Pallas kernel
+                # with the chain state VMEM-resident (infer/shmc_flat.py) ----
+                from ..infer.shmc_flat import (FlatShared, flat_shared_for,
+                                               flat_spec_for,
+                                               sample_shmc_flat)
+                if mesh is not None:
+                    raise ValueError(
+                        "pallas_traj does not shard over a mesh yet; drop "
+                        "mesh= or use the generic shmc path")
+                if warm_start is not None or precondition is not None:
+                    raise ValueError("pallas_traj does not support "
+                                     "warm_start/precondition; use the "
+                                     "generic shmc path")
+                spec_flat = flat_spec_for(cfg, data)   # raises if ineligible
+                shared_flat = flat_shared_for(cfg, data, dtype)
+                # interpret mode keeps the path testable off-TPU
+                interp = jax.default_backend() != "tpu"
+
+                def flat_fit(targets_b, skeys, dat, phi_mon, phi_eval,
+                             s_A, s_L, s_vecs, s_scal):
+                    sh = FlatShared(s_A, s_L, s_vecs, s_scal)
+                    q0 = jax.vmap(lambda t, k: init_q0s(
+                        dat, t, jax.random.split(k)[0], chains))(
+                            targets_b, skeys)
+                    q0f = q0.reshape(-1, q0.shape[-1])
+                    tgt_rows = jnp.repeat(targets_b, chains, axis=0)
+                    k_run = jax.random.fold_in(skeys[0], 7)
+                    draws, info = sample_shmc_flat(
+                        spec_flat, sh, tgt_rows, q0f, k_run, warmup=warmup,
+                        samples=samples, cfg=sh_cfg, chains=chains,
+                        traj_impl="pallas", interpret=interp)
+                    return jax.vmap(
+                        lambda dr, inf: pooled_summary(dat, dr, inf,
+                                                       phi_mon, phi_eval)
+                    )(draws, info)
 
             def fit_one(target, skey, dat, phi_mon, phi_eval):
                 logp = logp_for(dat, target)
@@ -670,6 +709,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         if mode == "sample":
             shared_args = (data, phi_mon_j, phi_eval_j)
             fit_in_axes = (0, 0, None, None, None)
+            if flat_fit is not None:
+                shared_args = shared_args + tuple(shared_flat)
         elif init_from_ridge:
             # ---- host-side batched underfitted-ridge init pass ----
             rdefaults = dict(penalty="integral", hyper_lambda=True,
@@ -712,6 +753,10 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             fit_in_axes = (0, 0, None)
 
     def build_fit():
+        if flat_fit is not None:
+            # the flat path handles the batch axis itself (one fused
+            # trajectory launch per draw for ALL spectra x chains)
+            return jax.jit(flat_fit)
         fn = jax.vmap(fit_one, in_axes=fit_in_axes)
         if mesh is not None:
             return jax.jit(fn, out_shardings=NamedSharding(mesh, P("spectra")))
