@@ -331,8 +331,21 @@ def _leaf_step(spec, A, L, vecs, scal, m_inv, epsc, q_init, p_init, g_init,
     (backward leg with flipped momentum until i == j, then the forward leg;
     divergent legs freeze and are never selected). Written over plain values
     so the XLA scan reference and the Pallas kernel share one implementation.
+
+    Mosaic-friendly state discipline: every per-row scalar is a (R, 1)
+    column and the freeze/divergence flags are {0, 1} float masks — Mosaic
+    cannot reshape/insert minor dims on 1-bit vectors, and 1-D loop carries
+    trip layout checks.
     """
     (qq, pp, gg, lp, logw, pq, plp, pgq, pkin, sacc, dead, ever) = st
+    dt = qq.dtype
+
+    def sel(mask_col, a, b):
+        # mask_col: (R, 1) float in {0, 1}; full-shape select (broadcasting
+        # an (R, 1) i1 against (R, D) is the pattern that crashes Mosaic)
+        m = jnp.broadcast_to(mask_col, a.shape) > 0.5
+        return jnp.where(m, a, b)
+
     flip = i == j
     qq = jnp.where(flip, q_init, qq)
     pp = jnp.where(flip, p_init, pp)
@@ -342,54 +355,59 @@ def _leaf_step(spec, A, L, vecs, scal, m_inv, epsc, q_init, p_init, g_init,
 
     p_half = pp + 0.5 * epsc * gg
     q_new = qq + epsc * p_half * m_inv
-    lp_new, g_new = flat_value_and_grad(spec, A, L, vecs, scal, q_new, targets)
+    lp1, g_new = flat_value_and_grad(spec, A, L, vecs, scal, q_new, targets)
+    lp_new = lp1[:, None]
     p_new = p_half + 0.5 * epsc * g_new
-    kin = 0.5 * jnp.sum(p_new * p_new * m_inv, axis=1)
+    kin = 0.5 * jnp.sum(p_new * p_new * m_inv, axis=1, keepdims=True)
     Hn = -lp_new + kin
     w = H0 - Hn
-    bad = jnp.isnan(Hn) | ((Hn - H0) > max_e)
-    w = jnp.where(bad | dead, -jnp.inf, w)
+    badf = jnp.maximum(jnp.isnan(Hn).astype(dt),
+                       ((Hn - H0) > max_e).astype(dt))
+    freeze = jnp.maximum(badf, dead)
+    w = jnp.where(freeze > 0.5, -jnp.inf, w)
     logw_new = jnp.logaddexp(logw, w)
-    take = jnp.log(u) < (w - logw_new)
-    pq = jnp.where(take[:, None], q_new, pq)
+    take = jnp.log(u) < (w - logw_new)          # (R, 1) i1, same-shape ops
+    takef = take.astype(dt)
+    pq = sel(takef, q_new, pq)
     plp = jnp.where(take, lp_new, plp)
-    pgq = jnp.where(take[:, None], g_new, pgq)
+    pgq = sel(takef, g_new, pgq)
     pkin = jnp.where(take, kin, pkin)
     sacc = sacc + jnp.minimum(1.0, jnp.exp(w))
-    dead_new = dead | bad
-    ever = ever | dead_new
-    ok = (~dead_new)[:, None]
-    return (jnp.where(ok, q_new, qq), jnp.where(ok, p_new, pp),
-            jnp.where(ok, g_new, gg), jnp.where(ok[:, 0], lp_new, lp),
+    dead_new = jnp.maximum(dead, badf)
+    ever = jnp.maximum(ever, dead_new)
+    alivef = 1.0 - dead_new
+    return (sel(alivef, q_new, qq), sel(alivef, p_new, pp),
+            sel(alivef, g_new, gg), jnp.where(alivef > 0.5, lp_new, lp),
             logw_new, pq, plp, pgq, pkin, sacc, dead_new, ever)
 
 
-def _traj_init_state(q, p0, grad, logp, kin0, dtype):
+def _traj_init_state(q, p0, grad, lp_col, kin0, dtype):
     rt = q.shape[0]
-    z = jnp.zeros((rt,), dtype)
-    f = jnp.zeros((rt,), bool)
+    z = jnp.zeros((rt, 1), dtype)
     # initial state enters the multinomial with weight 1 (logw = 0)
-    return (q, -p0, grad, logp, z, q, logp, grad, kin0, z, f, f)
+    return (q, -p0, grad, lp_col, z, q, lp_col, grad, kin0, z, z, z)
 
 
 def _traj_xla(spec, n_leap, max_e, shared, q, p0, grad, logp, eps,
               m_inv_rows, targets, j, u_sel):
     """Reference trajectory: lax.scan over leaves (state through HBM)."""
     A, L, vecs, scal = shared.A, shared.L, shared.vecs, shared.scal
-    kin0 = 0.5 * jnp.sum(p0 * p0 * m_inv_rows, axis=1)
-    H0 = -logp + kin0
+    kin0 = 0.5 * jnp.sum(p0 * p0 * m_inv_rows, axis=1, keepdims=True)
+    lp_col = logp[:, None]
+    H0 = -lp_col + kin0
     epsc = eps[:, None]
 
     def body(st, xs):
         i, u = xs
         st = _leaf_step(spec, A, L, vecs, scal, m_inv_rows, epsc, q, p0,
-                        grad, logp, H0, j, targets, max_e, i, u, st)
+                        grad, lp_col, H0, j, targets, max_e, i, u[:, None],
+                        st)
         return st, None
 
-    st0 = _traj_init_state(q, p0, grad, logp, kin0, q.dtype)
+    st0 = _traj_init_state(q, p0, grad, lp_col, kin0, q.dtype)
     st, _ = jax.lax.scan(body, st0, (jnp.arange(n_leap), u_sel))
     (_, _, _, _, _, pq, plp, pgq, pkin, sacc, _, ever) = st
-    return pq, plp, pgq, pkin, sacc, ever
+    return pq, plp[:, 0], pgq, pkin[:, 0], sacc[:, 0], ever[:, 0] > 0.5
 
 
 def _traj_pallas(spec, n_leap, max_e, block_rows, interpret, shared,
@@ -411,23 +429,28 @@ def _traj_pallas(spec, n_leap, max_e, block_rows, interpret, shared,
                tgt_ref, usel_ref, A_ref, L_ref, vec_ref,
                qo_ref, go_ref, rso_ref):
         jj = j_ref[0, 0]
-        sc = scal_ref[0, :]
+        # SMEM permits scalar loads only; flat_value_and_grad just indexes
+        # scal[k], so a tuple of scalars is a drop-in
+        sc = tuple(scal_ref[0, k] for k in range(8))
         Ak = A_ref[:]
-        Lk = L_ref[:]
-        vk = vec_ref[:]
+        # tuples of 2-D loads (a 3-D value + static indexing stresses
+        # Mosaic layouts for nothing)
+        Lk = (L_ref[0], L_ref[1], L_ref[2])
+        vk = (vec_ref[0, :], vec_ref[1, :], vec_ref[2, :])
         q0 = q_ref[:]
         p0k = p0_ref[:]
         g0 = g_ref[:]
-        lp0 = rs_ref[:, 0]
-        epsk = rs_ref[:, 1]
+        lp0 = rs_ref[:, 0:1]
+        epsc = rs_ref[:, 1:2]
         m_inv = minv_ref[:]
         tgt = tgt_ref[:]
-        kin0 = 0.5 * jnp.sum(p0k * p0k * m_inv, axis=1)
+        kin0 = 0.5 * jnp.sum(p0k * p0k * m_inv, axis=1, keepdims=True)
         H0 = -lp0 + kin0
-        epsc = epsk[:, None]
 
         def body(i, st):
-            u = usel_ref[i, :]
+            # dynamic index on the SUBLANE dim (row) is cheap; the minor-dim
+            # insert is on a 32-bit vector, which Mosaic supports
+            u = usel_ref[i, :][:, None]
             return _leaf_step(spec, Ak, Lk, vk, sc, m_inv, epsc, q0, p0k,
                               g0, lp0, H0, jj, tgt, max_e, i, u, st)
 
@@ -436,9 +459,8 @@ def _traj_pallas(spec, n_leap, max_e, block_rows, interpret, shared,
         (_, _, _, _, _, pq, plp, pgq, pkin, sacc, _, ever) = st
         qo_ref[:] = pq
         go_ref[:] = pgq
-        zero = jnp.zeros_like(sacc)
-        rso_ref[:] = jnp.stack([plp, pkin, sacc, ever.astype(dtype),
-                                zero, zero, zero, zero], axis=1)
+        pad = jnp.zeros((pq.shape[0], 4), dtype)
+        rso_ref[:] = jnp.concatenate([plp, pkin, sacc, ever, pad], axis=1)
 
     rs = jnp.stack([logp, eps], axis=1)
     j_arr = jnp.asarray(j, jnp.int32).reshape(1, 1)

@@ -8,11 +8,14 @@ CLAUDE.md protocol), repeating the baseline at the end. Run on the TPU:
 Reports spectra/min + the bench quality gates for both paths.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
