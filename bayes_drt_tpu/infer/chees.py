@@ -450,7 +450,16 @@ class SHMCConfig(NamedTuple):
                                   # block VMEM-resident (infer/shmc_flat.py).
                                   # Batch API only (fit_spectra_batch);
                                   # single-series-DRT models only.
-    traj_block: int = 256         # chain rows per Pallas grid step
+    traj_block: int = 256         # chain rows per Pallas grid step. 256 is
+                                  # also the VMEM ceiling at the flagship
+                                  # D (~211): 512-row blocks overflow the
+                                  # 16 MB scoped-vmem budget (measured)
+    flat_chain: bool = False      # run the SAME flat (B*chains, D) chain
+                                  # layout as pallas_traj but with the XLA
+                                  # scan trajectory (infer/shmc_flat.py,
+                                  # traj_impl='xla') — isolates the layout
+                                  # effect from the kernel effect. Batch
+                                  # API only; single-series-DRT only.
 
 
 @partial(jax.jit, static_argnames=("logp_fn", "warmup", "samples", "cfg"))

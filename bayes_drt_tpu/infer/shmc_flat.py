@@ -389,7 +389,7 @@ def _traj_init_state(q, p0, grad, lp_col, kin0, dtype):
 
 
 def _traj_xla(spec, n_leap, max_e, shared, q, p0, grad, logp, eps,
-              m_inv_rows, targets, j, u_sel):
+              m_inv_rows, targets, j, u_sel, unroll=1):
     """Reference trajectory: lax.scan over leaves (state through HBM)."""
     A, L, vecs, scal = shared.A, shared.L, shared.vecs, shared.scal
     kin0 = 0.5 * jnp.sum(p0 * p0 * m_inv_rows, axis=1, keepdims=True)
@@ -405,7 +405,8 @@ def _traj_xla(spec, n_leap, max_e, shared, q, p0, grad, logp, eps,
         return st, None
 
     st0 = _traj_init_state(q, p0, grad, lp_col, kin0, q.dtype)
-    st, _ = jax.lax.scan(body, st0, (jnp.arange(n_leap), u_sel))
+    st, _ = jax.lax.scan(body, st0, (jnp.arange(n_leap), u_sel),
+                         unroll=unroll)
     (_, _, _, _, _, pq, plp, pgq, pkin, sacc, _, ever) = st
     return pq, plp[:, 0], pgq, pkin[:, 0], sacc[:, 0], ever[:, 0] > 0.5
 
@@ -594,7 +595,8 @@ def sample_shmc_flat(spec: FlatSpec, shared: FlatShared, targets, q0, key,
                                     sh, q, p0, grad, logp, eps, m_inv_rows,
                                     tgt, j, u_sel)
             return _traj_xla(spec, n_leap, max_e, sh, q, p0, grad, logp,
-                             eps, m_inv_rows, tgt, j, u_sel)
+                             eps, m_inv_rows, tgt, j, u_sel,
+                             unroll=cfg.leaf_unroll)
 
         def step(carry, xs):
             q, logp, grad, da, wf, m_inv, key = carry

@@ -367,21 +367,22 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         if sampler == "shmc":
             sh_cfg = shmc_cfg if shmc_cfg is not None else SHMCConfig()
             flat_fit = None
-            if sh_cfg.pallas_traj:
-                # ---- fused-trajectory path: ONE flat (B*chains, D) chain
-                # axis, each draw's whole trajectory a single Pallas kernel
-                # with the chain state VMEM-resident (infer/shmc_flat.py) ----
+            if sh_cfg.pallas_traj or sh_cfg.flat_chain:
+                # ---- flat-chain path: ONE (B*chains, D) chain axis, each
+                # draw's whole trajectory a single launch — a fused Pallas
+                # kernel with the chain state VMEM-resident (pallas_traj) or
+                # the identical-math XLA scan (flat_chain). infer/shmc_flat ----
                 from ..infer.shmc_flat import (FlatShared, flat_shared_for,
                                                flat_spec_for,
                                                sample_shmc_flat)
                 if mesh is not None:
                     raise ValueError(
-                        "pallas_traj does not shard over a mesh yet; drop "
-                        "mesh= or use the generic shmc path")
+                        "pallas_traj/flat_chain does not shard over a mesh "
+                        "yet; drop mesh= or use the generic shmc path")
                 if warm_start is not None or precondition is not None:
-                    raise ValueError("pallas_traj does not support "
-                                     "warm_start/precondition; use the "
-                                     "generic shmc path")
+                    raise ValueError("pallas_traj/flat_chain does not "
+                                     "support warm_start/precondition; use "
+                                     "the generic shmc path")
                 spec_flat = flat_spec_for(cfg, data)   # raises if ineligible
                 shared_flat = flat_shared_for(cfg, data, dtype)
                 # interpret mode keeps the path testable off-TPU
@@ -399,7 +400,9 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                     draws, info = sample_shmc_flat(
                         spec_flat, sh, tgt_rows, q0f, k_run, warmup=warmup,
                         samples=samples, cfg=sh_cfg, chains=chains,
-                        traj_impl="pallas", interpret=interp)
+                        traj_impl=("pallas" if sh_cfg.pallas_traj
+                                   else "xla"),
+                        interpret=interp)
                     return jax.vmap(
                         lambda dr, inf: pooled_summary(dat, dr, inf,
                                                        phi_mon, phi_eval)

@@ -141,6 +141,27 @@ def test_fit_spectra_batch_pallas_traj_end_to_end():
     assert (rmse < 0.15 * rp).all(), rmse
 
 
+def test_fit_spectra_batch_flat_chain_matches_pallas_traj():
+    """flat_chain=True (XLA scan over the same flat (B*C, D) layout) must
+    produce bit-identical draws to pallas_traj in interpret mode — the two
+    trajectory impls share everything but the launch."""
+    from bayes_drt_tpu.infer.chees import SHMCConfig
+    from bayes_drt_tpu.parallel import fit_spectra_batch
+
+    from bayes_drt_tpu import sim
+    freq, Zb = sim.make_benchmark_batch(2, freq=np.logspace(5, -1, 21),
+                                        noise_level=0.003, seed=5)
+    common = dict(n_steps=6, warm_steps=6, eps_quantile=0.5)
+    kw = dict(mode="sample", chains=2, warmup=30, samples=20, random_seed=0,
+              ncp=True, sampler="shmc", dtype=np.float32)
+    res_p = fit_spectra_batch(freq, Zb, shmc_cfg=SHMCConfig(
+        pallas_traj=True, traj_block=8, **common), **kw)
+    res_f = fit_spectra_batch(freq, Zb, shmc_cfg=SHMCConfig(
+        flat_chain=True, **common), **kw)
+    np.testing.assert_allclose(res_f.coef, res_p.coef, rtol=2e-4, atol=2e-5)
+    assert np.isfinite(res_f.diagnostics["logp_rhat"]).all()
+
+
 def test_fit_spectra_batch_pallas_traj_rejects_unsupported():
     from bayes_drt_tpu.infer.chees import SHMCConfig
     from bayes_drt_tpu.parallel import fit_spectra_batch
