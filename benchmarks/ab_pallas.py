@@ -63,15 +63,20 @@ def main():
                       draw_unroll=2, recompute_grad=True, eps_quantile=0.5)
     fused = base._replace(pallas_traj=True, leaf_unroll=1, draw_unroll=1,
                           recompute_grad=False)
+    flat = base._replace(flat_chain=True, recompute_grad=False)
+
+    arms = {"base": base, "flat": flat}
+    if "--fused" in sys.argv:
+        arms["fused"] = fused
 
     print(f"B={B} chains={chains} n_steps={n_steps} "
           f"warmup={warmup} samples={samples}", flush=True)
-    # warm both programs (compile), then timed best-of-2 interleaved
-    run("base warm ", base, 0)
-    run("fused warm", fused, 0)
+    # warm all programs (compile), then timed best-of-2 interleaved
+    for tag, cfg in arms.items():
+        run(f"{tag} warm ", cfg, 0)
     for rep in range(2):
-        run(f"base  r{rep}  ", base, 1 + rep)
-        run(f"fused r{rep}  ", fused, 1 + rep)
+        for tag, cfg in arms.items():
+            run(f"{tag}  r{rep} ", cfg, 1 + rep)
     run("base  tail ", base, 9)
 
 
