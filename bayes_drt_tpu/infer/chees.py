@@ -460,10 +460,37 @@ class SHMCConfig(NamedTuple):
                                   # traj_impl='xla') — isolates the layout
                                   # effect from the kernel effect. Batch
                                   # API only; single-series-DRT only.
+    precision: str = "highest"    # matmul precision for the whole sampler
+                                  # program. 'highest' = true f32 (6 bf16 MXU
+                                  # passes) — the library default, because
+                                  # plain-bf16 gradient noise destabilizes
+                                  # leapfrog integration (progcache.
+                                  # precise_matmuls). 'high' = bf16x3
+                                  # (~f32-like error at half the MXU passes)
+                                  # — opt-in; A/B quality gates before
+                                  # adopting on a new posterior.
+
+
+def _cfg_matmul_precision(fn):
+    """Trace ``fn`` under ``cfg.precision`` (SHMCConfig-aware precise_matmuls).
+
+    Same rationale as progcache.precise_matmuls — TPU's default bf16 MXU
+    lowering is NOT safe for leapfrog gradients — but lets SHMCConfig
+    select 'high' (bf16x3) where its accuracy is verified adequate.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(logp_fn, q0, key, warmup=500, samples=500,
+                cfg=SHMCConfig(), init_step_size=1.0, metric=None):
+        with jax.default_matmul_precision(cfg.precision):
+            return fn(logp_fn, q0, key, warmup=warmup, samples=samples,
+                      cfg=cfg, init_step_size=init_step_size, metric=metric)
+    return wrapped
 
 
 @partial(jax.jit, static_argnames=("logp_fn", "warmup", "samples", "cfg"))
-@precise_matmuls
+@_cfg_matmul_precision
 def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
                 samples: int = 500, cfg: SHMCConfig = SHMCConfig(),
                 init_step_size: float = 1.0, metric=None):

@@ -31,8 +31,14 @@ benchmarks/sweep_{warmup,warmup2,batch,final_r3}.py):
   for ~+5%.
 - non-centered parameterization (ncp=True): identical posterior, ~3x lower
   recovery error at this budget
-- full-float32 matmuls (progcache.precise_matmuls): TPU bf16 MXU defaults
-  destabilize leapfrog integration (round-2 finding)
+- precision='high' (bf16x3 matmuls, 3 MXU passes): +11% over the library's
+  full-f32 default ('highest', 6 passes) at equal-or-better quality on every
+  gate (benchmarks/ab_precision.py, drift-bracketed at B=512 and B=1024:
+  21,734 spm vs 19,557/17,587 anchors; p90 2.39 vs 2.65 %Rp, lpR 2.52 vs
+  2.61). Pure bf16 ('default') stays catastrophic for leapfrog gradients
+  (rmse 5.6 %Rp, coverage 0.870, logp-Rhat 51) — the round-2 finding holds
+  for SHMC too; bf16x3's ~2^-21 relative error is below the integrator's
+  noise floor while plain bf16's 2^-8 is far above it.
 
 The warm-up call also primes the cross-call program cache, so the timed
 runs measure pure device execution; first executions of a persistent-cache-
@@ -108,7 +114,7 @@ def main():
     # masked select per leaf (measured +4% back-to-back, draws unchanged)
     shmc_cfg = SHMCConfig(n_steps=N_STEPS, warm_steps=WARM_STEPS,
                           leaf_unroll=2, draw_unroll=2, recompute_grad=True,
-                          eps_quantile=EPS_QUANTILE)
+                          eps_quantile=EPS_QUANTILE, precision="high")
 
     def run(seed):
         return fit_spectra_batch(freq, Zb, mode="sample", chains=CHAINS,

@@ -124,6 +124,24 @@ def test_shmc_eps_quantile():
     assert np.max(np.abs(emp - cov) / (np.abs(cov) + 0.2)) < 0.5
 
 
+def test_shmc_precision_knob():
+    """SHMCConfig(precision=) selects the matmul precision the sampler
+    program is traced under. On the CPU backend every precision lowers to
+    the same f64/f32 dot, so 'high' must be bit-identical to the 'highest'
+    default — this pins the knob's plumbing (cfg-aware wrapper, program
+    cache keying), while the TPU A/B (benchmarks/ab_precision.py) measures
+    its effect where bf16x3 vs 6-pass-f32 actually differ."""
+    cov, logp = _gaussian_target()
+    d = cov.shape[0]
+    key = jax.random.PRNGKey(7)
+    q0 = jax.random.normal(key, (4, d))
+    base, _ = sample_shmc(logp, q0, key, warmup=200, samples=200,
+                          cfg=SHMCConfig(n_steps=16))
+    high, _ = sample_shmc(logp, q0, key, warmup=200, samples=200,
+                          cfg=SHMCConfig(n_steps=16, precision="high"))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(high))
+
+
 def test_shmc_rbg_stream_samples_correctly():
     """rng_impl='rbg' re-keys onto the hardware RngBitGenerator stream —
     different draws, same target distribution."""
