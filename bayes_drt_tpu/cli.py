@@ -215,6 +215,8 @@ def cmd_fit(args):
                 d = res.diagnostics
                 row["min_ess"] = float(d["min_ess"][i])
                 row["logp_split_rhat"] = float(d["logp_rhat"][i])
+                row["rank_rhat_max"] = float(d["rank_rhat_max"][i])
+                row["ess_bulk_min"] = float(d["ess_bulk_min"][i])
                 row["divergence_rate"] = float(d["divergence_rate"][i])
             if args.peaks:
                 from .peaks import evaluate_fit_distribution, fit_peaks

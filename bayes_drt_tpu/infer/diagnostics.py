@@ -126,6 +126,93 @@ def ess_jnp(draws):
     return c * n / tau
 
 
+def _rank_normalize(x):
+    """Fractional-rank inverse-normal transform (Vehtari et al. 2021 eq. 14):
+    z = Phi^-1((r - 3/8)/(S + 1/4)) with average ranks for ties, pooled over
+    all chains and draws. x: (c, n, d) -> (c, n, d)."""
+    from scipy.special import ndtri
+    from scipy.stats import rankdata
+    c, n, d = x.shape
+    r = rankdata(x.reshape(c * n, d), axis=0, method="average")
+    return ndtri((r - 0.375) / (c * n + 0.25)).reshape(c, n, d)
+
+
+def rhat_rank(draws) -> np.ndarray:
+    """Rank-normalized split-Rhat (Vehtari et al. 2021): the max of split-Rhat
+    on rank-normalized draws (bulk) and on rank-normalized folded draws
+    |x - median| (tails). This is what modern Stan/arviz report; the plain
+    :func:`rhat` is kept for continuity. draws: (chains, n, dim) -> (dim,)."""
+    x = np.asarray(draws, dtype=float)
+    z = _rank_normalize(x)
+    folded = np.abs(x - np.median(x.reshape(-1, x.shape[-1]), axis=0))
+    zf = _rank_normalize(folded)
+    return np.maximum(rhat(z), rhat(zf))
+
+
+def ess_bulk(draws) -> np.ndarray:
+    """Bulk ESS on rank-normalized draws (Vehtari et al. 2021).
+    draws: (chains, n, dim) -> (dim,)."""
+    return ess(_rank_normalize(np.asarray(draws, dtype=float)))
+
+
+def ess_tail(draws) -> np.ndarray:
+    """Tail ESS (Vehtari et al. 2021): the minimum of the ESS of the 5% and
+    95% quantile indicator functions. draws: (chains, n, dim) -> (dim,)."""
+    x = np.asarray(draws, dtype=float)
+    flat = x.reshape(-1, x.shape[-1])
+    out = None
+    for q in (0.05, 0.95):
+        ind = (x <= np.quantile(flat, q, axis=0)).astype(float)
+        e = ess(ind)
+        out = e if out is None else np.minimum(out, e)
+    return out
+
+
+def _rank_normalize_jnp(x):
+    """Device-side rank-normal transform: ordinal ranks via double argsort
+    (ties are measure-zero for continuous draws), pooled over chains+draws.
+    x: (c, n, d) -> (c, n, d)."""
+    import jax.numpy as jnp
+    from jax.scipy.special import ndtri
+    c, n, d = x.shape
+    flat = x.reshape(c * n, d)
+    ranks = jnp.argsort(jnp.argsort(flat, axis=0), axis=0) + 1
+    z = ndtri((ranks.astype(x.dtype) - 0.375) / (c * n + 0.25))
+    return z.reshape(c, n, d)
+
+
+def _split_rhat_jnp(x):
+    """Plain split-Rhat as a jnp program. x: (c, n, d) -> (d,)."""
+    import jax.numpy as jnp
+    half = x.shape[1] // 2
+    xs = jnp.concatenate([x[:, :half], x[:, half:2 * half]], axis=0)
+    n = half
+    cm = xs.mean(axis=1)
+    w = xs.var(axis=1, ddof=1).mean(axis=0)
+    b = n * cm.var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    return jnp.sqrt(var_plus / jnp.maximum(w, jnp.finfo(x.dtype).tiny))
+
+
+def rhat_rank_jnp(draws):
+    """Rank-normalized split-Rhat as a pure-jnp program so it can run ON
+    DEVICE inside batched sampling programs (same estimator as
+    :func:`rhat_rank`; ordinal instead of average ranks — identical for
+    continuous draws). draws: (chains, n, d) -> (d,)."""
+    import jax.numpy as jnp
+    x = draws
+    z = _rank_normalize_jnp(x)
+    med = jnp.median(x.reshape(-1, x.shape[-1]), axis=0)
+    zf = _rank_normalize_jnp(jnp.abs(x - med))
+    return jnp.maximum(_split_rhat_jnp(z), _split_rhat_jnp(zf))
+
+
+def ess_bulk_jnp(draws):
+    """Bulk ESS (rank-normalized) as a pure-jnp program.
+    draws: (chains, n, d) -> (d,)."""
+    return ess_jnp(_rank_normalize_jnp(draws))
+
+
 def e_bfmi(energy) -> float:
     """Energy Bayesian fraction of missing information (Betancourt 2016):
     Var(dE)/Var(E) per chain, averaged. Values < ~0.3 flag poor energy-set
@@ -147,4 +234,7 @@ def summary(draws) -> dict:
         "q97.5": np.percentile(flat, 97.5, axis=0),
         "rhat": rhat(x),
         "ess": ess(x),
+        "rhat_rank": rhat_rank(x),
+        "ess_bulk": ess_bulk(x),
+        "ess_tail": ess_tail(x),
     }

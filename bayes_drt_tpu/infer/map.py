@@ -83,8 +83,67 @@ def run_lbfgs(loss_fn: Callable, x0, max_iter: int = 4000, tol: float = 1e-8,
     params, state, value, gnorm = jax.lax.while_loop(cond, step, init)
     it = otu.tree_get(state, "count")
     final_value = otu.tree_get(state, "value")
+    # converged means "exited on tolerance, not on the iteration cap" —
+    # a cap-bound run is not a certificate (use newton_polish for one)
     return MapResult(params=params, value=final_value, grad_norm=gnorm,
-                     n_iter=it, converged=jnp.isfinite(final_value))
+                     n_iter=it,
+                     converged=jnp.isfinite(final_value) & (it < max_iter))
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "max_iter"))
+@precise_matmuls
+def newton_polish(loss_fn: Callable, x0, max_iter: int = 50,
+                  tol: float = 1e-8) -> MapResult:
+    """Damped (Levenberg) Newton refinement after L-BFGS.
+
+    The unconstrained DRT posterior is only ~110-dimensional, so one full
+    Hessian factorization per step is trivial on TPU, and local quadratic
+    convergence turns a cap-bound L-BFGS iterate into a certified optimum
+    (grad infinity norm <= tol — the convergence certificate pystan's
+    ``model.optimizing`` reports via tol_grad; reference:
+    inversion.py:1216). Levenberg damping (H + lam*diag scaling, accept/
+    reject on the objective) keeps steps sane where the Hessian is
+    indefinite away from the mode. jittable and vmappable like run_lbfgs.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(x0)
+    eps = jnp.finfo(flat0.dtype).eps
+    tol = jnp.maximum(jnp.asarray(tol, flat0.dtype), 50.0 * eps)
+
+    def f(v):
+        return loss_fn(unravel(v))
+
+    vg = jax.value_and_grad(f)
+    hess = jax.hessian(f)
+
+    def step(carry):
+        x, val, g, lam, it = carry
+        h = hess(x)
+        diag = jnp.maximum(jnp.abs(jnp.diagonal(h)), 1.0)
+        s = jnp.linalg.solve(h + lam * jnp.diag(diag), g)
+        x_new = x - s
+        val_new, g_new = vg(x_new)
+        ok = jnp.isfinite(val_new) & (val_new <= val)
+        x = jnp.where(ok, x_new, x)
+        val = jnp.where(ok, val_new, val)
+        g = jnp.where(ok, g_new, g)
+        lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-12), lam * 10.0)
+        return x, val, g, lam, it + 1
+
+    def cond(carry):
+        x, val, g, lam, it = carry
+        return ((it < max_iter)
+                & (jnp.linalg.norm(g, ord=jnp.inf) > tol)
+                & (lam < 1e10))
+
+    val0, g0 = vg(flat0)
+    init = (flat0, val0, g0, jnp.asarray(1e-3, flat0.dtype),
+            jnp.asarray(0, jnp.int32))
+    x, val, g, lam, it = jax.lax.while_loop(cond, step, init)
+    gnorm = jnp.linalg.norm(g, ord=jnp.inf)
+    return MapResult(params=unravel(x), value=val, grad_norm=gnorm,
+                     n_iter=it, converged=jnp.isfinite(val) & (gnorm <= tol))
 
 
 def run_lbfgs_restarts(loss_fn: Callable, init_fn: Callable, key, n_restarts: int,

@@ -22,7 +22,7 @@ from .ops.matrices import construct_A, construct_L, construct_M, default_epsilon
 from .ops.basis import get_basis_func
 from .infer.ridge import (HyperLambdaConfig, RidgeData, run_hyper_lambda,
                           run_hyper_weights, run_ordinary_ridge)
-from .infer.map import run_lbfgs, run_lbfgs_restarts
+from .infer.map import newton_polish, run_lbfgs, run_lbfgs_restarts
 from .infer.chees import (ChEESConfig, SHMCConfig, sample_chees,
                           sample_shmc)
 from .infer.nuts import NUTSConfig, sample_nuts
@@ -676,7 +676,7 @@ class Inverter:
             fitY=False, SA=False, SASY=False, n_restarts=2,
             max_tree_depth=10, adapt_delta=0.9, ncp=False,
             sampler="nuts", chees_cfg=None, shmc_cfg=None,
-            add_model_data=None, log_density_fn=None):
+            add_model_data=None, log_density_fn=None, polish=True):
         """MAP (mode='optimize') or full HMC (mode='sample') fit of the
         calibrated hierarchical Bayesian model.
 
@@ -689,9 +689,9 @@ class Inverter:
         ``sampler`` (sample mode): 'nuts' (default, Stan-equivalent),
         'shmc' (synchronous static multinomial HMC — the fully
         batch-synchronous TPU form, same posterior; configure via
-        ``shmc_cfg``), or 'chees' (adaptive jittered HMC, ``chees_cfg``;
-        measured weaker than nuts/shmc on the funnel-shaped DRT posterior
-        — prefer shmc unless trajectory-length adaptation is the point).
+        ``shmc_cfg``), or 'chees' (EXPERIMENTAL: adaptive jittered HMC,
+        ``chees_cfg``; measured weaker than nuts/shmc on the funnel-shaped
+        DRT posterior — ADR in bayes_drt_tpu/experiments/__init__.py).
 
         Escape hatches (the reference's ``add_stan_data``/``model_str``,
         inversion.py:1143-1147):
@@ -799,21 +799,33 @@ class Inverter:
 
         if mode == "optimize":
             def build_map():
+                def _finish(loss, res):
+                    # Newton polish: the L-BFGS cap usually binds before
+                    # Stan-grade convergence on this posterior; a damped
+                    # Newton refinement on the ~110-dim problem certifies
+                    # the optimum (grad-norm <= tol) in a few dozen cheap
+                    # factorizations (MapResult.converged/grad_norm)
+                    if not polish:
+                        return res
+                    pol = newton_polish(loss, res.params)
+                    return pol._replace(n_iter=res.n_iter + pol.n_iter)
+
                 if init_values is not None:
                     def run(dat, k, iv):
                         loss = lambda p: -density(cfg, dat, p, jacobian=False)
                         p0 = init_unconstrained(cfg, dat, k, init_values=iv)
-                        return run_lbfgs(loss, p0, max_iter=max_iter)
+                        return _finish(loss, run_lbfgs(loss, p0,
+                                                       max_iter=max_iter))
                 else:
                     def run(dat, k):
                         loss = lambda p: -density(cfg, dat, p, jacobian=False)
                         init_fn = lambda kk: init_unconstrained(cfg, dat, kk)
-                        return run_lbfgs_restarts(loss, init_fn, k, n_restarts,
-                                                  max_iter=max_iter)
+                        return _finish(loss, run_lbfgs_restarts(
+                            loss, init_fn, k, n_restarts, max_iter=max_iter))
                 return jax.jit(run)
 
             runner = cached_program(
-                prog_base + ("map", max_iter, n_restarts), build_map)
+                prog_base + ("map", max_iter, n_restarts, polish), build_map)
             iv_args = () if init_values is None else (init_values,)
             res = runner(data, key, *iv_args)
             c = jax.tree.map(np.asarray, constrain(cfg, data, res.params))
@@ -905,11 +917,23 @@ class Inverter:
                                                           preds, sts)
             div = np.asarray(info["diverging"])
             ess = mcmc_diagnostics.ess(draws_np)
+            # per-parameter rank-normalized diagnostics (Vehtari et al.
+            # 2021) — what pystan's fit.summary() gave reference users
+            # (reference: inversion.py:1218-1221 prints the Stan summary)
+            rhat_rank = mcmc_diagnostics.rhat_rank(draws_np)
+            ess_bulk = mcmc_diagnostics.ess_bulk(draws_np)
+            ess_tail = mcmc_diagnostics.ess_tail(draws_np)
             self.sample_diagnostics = {
                 "divergence_rate": float(div.mean()),
                 "accept_prob": float(np.asarray(info["accept_prob"]).mean()),
                 "step_size": np.asarray(info["step_size"]),
                 "rhat_max": float(np.max(mcmc_diagnostics.rhat(draws_np))),
+                "rhat_rank": rhat_rank,
+                "rhat_rank_max": float(np.max(rhat_rank)),
+                "ess_bulk": ess_bulk,
+                "ess_bulk_min": float(np.min(ess_bulk)),
+                "ess_tail": ess_tail,
+                "ess_tail_min": float(np.min(ess_tail)),
                 "ess_min": float(np.min(ess)),
                 "ess_mean": float(np.mean(ess)),
                 "n_leapfrog": float(np.asarray(info["n_leapfrog"]).mean()),
@@ -967,7 +991,8 @@ class Inverter:
                       part="both", scale_Z=True, nonneg=False,
                       sigma_min=0.002, max_iter=4000, random_seed=1234,
                       inductance_scale=1.0, n_restarts=2,
-                      min_tau_drift=200.0, max_tau_drift=10000.0):
+                      min_tau_drift=200.0, max_tau_drift=10000.0,
+                      polish=True):
         """MAP fit of a time-evolving spectrum (reference:
         inversion.py:1291-1564; drift models x1/x2/dx/dx-lin/RQ/RQ-lin/
         RQ-from-final/RQ-lin-from-final implemented from the documented math
@@ -1096,13 +1121,18 @@ class Inverter:
                 rv = jnp.where(jnp.isfinite(r_rand.value), r_rand.value,
                                jnp.inf)
                 take = bv <= rv
-                return jax.tree.map(lambda a, b: jnp.where(take, a, b),
-                                    r_seed, r_rand)
+                res = jax.tree.map(lambda a, b: jnp.where(take, a, b),
+                                   r_seed, r_rand)
+                if polish:
+                    # certify the winning basin's optimum (grad-norm <= tol)
+                    pol = newton_polish(loss, res.params)
+                    res = pol._replace(n_iter=res.n_iter + pol.n_iter)
+                return res
             return jax.jit(solve)
 
         runner = cached_program(
             ("inverter_drift", cfg, data_shapes(data), max_iter, n_restarts,
-             iv_sig), build_drift)
+             iv_sig, polish), build_drift)
         iv_args = (ridge_init,) if ridge_init else ()
         res = runner(data, key0, *iv_args)
         c = jax.tree.map(np.asarray, constrain_drift(cfg, data, res.params))

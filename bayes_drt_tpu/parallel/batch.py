@@ -30,11 +30,11 @@ from ..ops.matrices import (construct_A, construct_L, construct_M,
 from ..models.build import (build_posterior, sort_distributions,
                             z_scale_for)
 from ..models.posterior import constrain, init_unconstrained, log_density
-from ..infer.diagnostics import ess_jnp
+from ..infer.diagnostics import ess_bulk_jnp, ess_jnp, rhat_rank_jnp
 from ..infer.chees import (ChEESConfig, SHMCConfig, sample_chees,
                            sample_shmc)
 from ..infer.nuts import NUTSConfig, sample_nuts
-from ..infer.map import run_lbfgs
+from ..infer.map import newton_polish, run_lbfgs
 from ..infer.ridge import (HyperLambdaConfig, RidgeData,
                            run_hyper_lambda, run_hyper_weights,
                            run_ordinary_ridge)
@@ -92,14 +92,20 @@ def _cpu_context():
         return contextlib.nullcontext()
 
 
-def _make_summarize(cfg, unravel, chains, samples, n_dists):
+def _make_summarize(cfg, unravel, chains, samples, n_dists,
+                    monitor_thin: int = 0):
     """Per-spectrum posterior summary computed ON DEVICE from the chain
     draws: posterior means/percentiles, convergence scalars (logp split-Rhat,
     divergence/accept/leapfrog stats), per-spectrum bulk ESS of logp and of
     gamma at monitor points (ESS/sec is the BASELINE headline metric — a
     throughput number is meaningless without it), optional TRUE pointwise
     gamma credible bands, and the sampler state for chained refits. Shared
-    by fit_spectra_batch and fit_spectra_ragged."""
+    by fit_spectra_batch and fit_spectra_ragged.
+
+    ``monitor_thin`` > 0 additionally returns thinned per-draw monitor
+    values (Rinf, induc, sigma_res, alpha_prop, alpha_re, alpha_im, gamma at
+    the ``gamma_eval_tau`` points) under ``monitor_draws`` — the raw
+    material for rank statistics (simulation-based calibration)."""
 
     def summarize(dat, draws, info, phi_mon, phi_eval):
         flat = draws.reshape(-1, draws.shape[-1])
@@ -137,11 +143,32 @@ def _make_summarize(cfg, unravel, chains, samples, n_dists):
         ess_q = ess_jnp(mon)
         out["ess_logp"] = ess_q[0]
         out["min_ess"] = ess_q.min()
+        # per-parameter rank-normalized diagnostics (Vehtari et al. 2021)
+        # over ALL unconstrained parameters: rank statistics are invariant
+        # under monotone per-parameter transforms, so these equal the
+        # constrained-space values Stan users see for the (monotone)
+        # constrain maps, and they measure the sampler's mixing in its own
+        # space for the rest (ncp products). The worst-parameter bulk ESS
+        # actually discriminates where the monitor-based min_ess saturates.
+        out["rank_rhat_max"] = rhat_rank_jnp(draws).max()
+        out["ess_bulk_min"] = ess_bulk_jnp(draws).min()
         if phi_eval.shape[0] > 0:
             ge = xs @ phi_eval.T
             out["gamma_eval_mean"] = ge.mean(axis=0)
             out["gamma_eval_lo"] = jnp.percentile(ge, 2.5, axis=0)
             out["gamma_eval_hi"] = jnp.percentile(ge, 97.5, axis=0)
+        if monitor_thin:
+            td = draws[:, monitor_thin - 1::monitor_thin, :]
+            td = td.reshape(-1, draws.shape[-1])
+
+            def mon_of(q):
+                c = constrain(cfg, dat, unravel(q))
+                vals = jnp.stack([c["Rinf"], c["induc"], c["sigma_res"],
+                                  c["alpha_prop"], c["alpha_re"],
+                                  c["alpha_im"]])
+                return jnp.concatenate([vals, phi_eval @ c["x_0"]])
+
+            out["monitor_draws"] = jax.vmap(mon_of)(td)
         for i in range(1, n_dists):
             xi = jax.vmap(lambda q: constrain(cfg, dat, unravel(q))[f"x_{i}"])(flat)
             out[f"coef_{i}"] = xi.mean(axis=0)
@@ -224,6 +251,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       outliers: bool = False,
                       chains: int = 4, warmup: int = 500, samples: int = 500,
                       max_iter: int = 2000, n_restarts: int = 2,
+                      polish: bool = True,
                       init_from_ridge: bool = False,
                       ridge_kw: Optional[dict] = None,
                       random_seed: int = 0, mesh: Optional[Mesh] = None,
@@ -236,6 +264,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       scan_unroll: int = 1,
                       basis: str = "gaussian",
                       gamma_eval_tau=None,
+                      monitor_thin: int = 0,
+                      z_scale=None,
                       sampler: str = "nuts", chees_cfg=None, shmc_cfg=None,
                       warm_start: "BatchFitResult" = None) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
@@ -301,8 +331,15 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
 
     # per-spectrum scaling, including the calibrated Ystar admittance-std
     # targets for a single parallel planar DDT
-    # (reference: inversion.py:2411-2443)
-    z_scales = np.atleast_1d(z_scale_for(dists_norm, Z_batch, fit_type="map"))
+    # (reference: inversion.py:2411-2443). z_scale= overrides the data-
+    # derived scale (pre-scaled serving batches; simulation-based
+    # calibration needs z_scale=1 so the fitted model IS the generative one)
+    if z_scale is None:
+        z_scales = np.atleast_1d(z_scale_for(dists_norm, Z_batch,
+                                             fit_type="map"))
+    else:
+        zs = np.broadcast_to(np.asarray(z_scale, float), (b_real,))
+        z_scales = np.concatenate([zs, np.full(b - b_real, zs[-1])])
     Zs = Z_batch / z_scales[:, None]
     targets = jnp.asarray(np.concatenate([Zs.real, Zs.imag], axis=1), dtype=dtype)
 
@@ -343,7 +380,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                               flat_tree=flat_tree,
                               tree_scan=tree_scan, scan_unroll=scan_unroll)
 
-        summarize = _make_summarize(cfg, unravel, chains, samples, n_dists)
+        summarize = _make_summarize(cfg, unravel, chains, samples, n_dists,
+                                    monitor_thin=monitor_thin)
 
         def init_q0s(dat, target, k_init, n):
             p0s = jax.vmap(lambda k: init_unconstrained(
@@ -453,20 +491,35 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             raise ValueError(f"Unknown sampler {sampler!r}; options are "
                              "'nuts', 'chees', 'shmc'")
     else:
-        def _map_out(dat, q_best, value, n_iter):
-            c = constrain(cfg, dat, unravel(q_best))
+        def _map_out(dat, res):
+            c = constrain(cfg, dat, unravel(res.params))
             out = {
                 "coef": c["x_0"],
                 "coef_lo": c["x_0"],
                 "coef_hi": c["x_0"],
                 "r_inf": c["Rinf"],
                 "induc": c["induc"],
-                "value": value,
-                "n_iter": n_iter.astype(jnp.float32),
+                "value": res.value,
+                "n_iter": res.n_iter.astype(jnp.float32),
+                # convergence certificate (MapResult semantics): grad
+                # infinity norm at the returned optimum, and whether the
+                # run exited on tolerance rather than the iteration cap
+                "grad_norm": res.grad_norm,
+                "converged": res.converged,
             }
             for i in range(1, n_dists):
                 out[f"coef_{i}"] = c[f"x_{i}"]
             return out
+
+        def _polish(loss, res):
+            # Newton-certify the optimum: the L-BFGS cap binds before
+            # Stan-grade convergence on this posterior (CLAUDE.md); a damped
+            # Newton pass on the ~110-dim problem reaches grad-norm <= tol
+            # in a few dozen cheap (D, D) factorizations
+            if not polish:
+                return res
+            pol = newton_polish(loss, res.params)
+            return pol._replace(n_iter=res.n_iter + pol.n_iter)
 
         if init_from_ridge:
             # one L-BFGS run from the batched ridge solution (the
@@ -488,10 +541,10 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                                         skey, init_values=iv)
                 q0, _ = ravel_pytree(
                     jax.tree.map(lambda a: a.astype(dtype), p0))
-                res = run_lbfgs(loss, q0, max_iter=max_iter)
-                return _map_out(dat, res.params, res.value, res.n_iter)
+                res = _polish(loss, run_lbfgs(loss, q0, max_iter=max_iter))
+                return _map_out(dat, res)
 
-            prog_extra = ("ridge-init", bool(outliers), max_iter)
+            prog_extra = ("ridge-init", bool(outliers), max_iter, polish)
         else:
             def fit_one(target, skey, dat):
                 logp = logp_for(dat, target)
@@ -507,13 +560,13 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                 res = jax.vmap(one_restart)(jax.random.split(skey, n_restarts))
                 best = jnp.argmin(jnp.where(jnp.isfinite(res.value),
                                             res.value, jnp.inf))
-                return _map_out(dat, res.params[best], res.value[best],
-                                res.n_iter[best])
+                res = _polish(loss, jax.tree.map(lambda a: a[best], res))
+                return _map_out(dat, res)
 
-            prog_extra = (n_restarts, max_iter)
+            prog_extra = (n_restarts, max_iter, polish)
 
     base_key = ("fit_spectra_batch", mode, cfg, data_shapes(data),
-                prog_extra, mesh)
+                prog_extra, monitor_thin, mesh)
 
     extra_args = ()
     if mode == "sample" and warm_start is not None:
@@ -809,6 +862,13 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     for k_ge in ("gamma_eval_mean", "gamma_eval_lo", "gamma_eval_hi"):
         if k_ge in diagnostics:
             diagnostics[k_ge] = diagnostics[k_ge] * scale0
+    if "monitor_draws" in diagnostics:
+        # columns: Rinf, induc (impedance units) | sigma_res, alpha_prop,
+        # alpha_re, alpha_im (left in scaled space) | gamma at eval taus
+        md = diagnostics["monitor_draws"].copy()
+        md[:, :, :2] *= z_scales[:, None, None]
+        md[:, :, 6:] *= scale0[:, None, :]
+        diagnostics["monitor_draws"] = md
     return BatchFitResult(
         coef=out["coef"] * scale0,
         r_inf=out["r_inf"] * z_scales,

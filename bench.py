@@ -126,11 +126,12 @@ def main():
     # runs measure sampling, not XLA compilation
     run(0)
 
-    elapsed, res = float("inf"), None
+    elapsed, res, timings = float("inf"), None, []
     for rep in range(3):
         t0 = time.time()
         r = run(1 + rep)
         el = time.time() - t0
+        timings.append(round(el, 2))
         if el < elapsed:
             elapsed, res = el, r
 
@@ -158,6 +159,10 @@ def main():
         "vs_baseline": round(spectra_per_min / baseline_throughput, 1),
         "ess_per_sec": round(ess_per_sec, 1),
         "min_ess_median": round(min_ess_med, 2),
+        # throughput through the remote tunnel drifts up to ~25% run to
+        # run; the raw per-run timings carry the drift band with the record
+        "best_of": len(timings),
+        "timings_s": timings,
     }
     # diagnostics to stderr so stdout stays a single JSON line
     print(f"elapsed={elapsed:.1f}s B={B} gamma_rmse={rmse:.4f} "
