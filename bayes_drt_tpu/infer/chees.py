@@ -460,6 +460,20 @@ class SHMCConfig(NamedTuple):
                                   # traj_impl='xla') — isolates the layout
                                   # effect from the kernel effect. Batch
                                   # API only; single-series-DRT only.
+    traj_store: bool = False      # store-then-select trajectory form: the
+                                  # leaf scan emits (q, logp, kin, w) as
+                                  # stacked scan outputs and ONE Gumbel-max
+                                  # categorical per draw replaces the
+                                  # streaming per-leaf multinomial update.
+                                  # Identical target distribution (reservoir
+                                  # sampling and Gumbel-max are both exact
+                                  # categorical selection; different RNG
+                                  # stream -> different but equally valid
+                                  # draws). Cuts the per-leaf bookkeeping to
+                                  # the flip selects only: no proposal
+                                  # carries, no freeze selects (a dead leg's
+                                  # states keep integrating but carry
+                                  # w = -inf so they are never selected).
     precision: str = "highest"    # matmul precision for the whole sampler
                                   # program. 'highest' = true f32 (6 bf16 MXU
                                   # passes) — the library default, because
@@ -588,7 +602,62 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
         kin0 = 0.5 * jnp.sum(p0 * p0 * m_inv[None, :], axis=1)
         H0 = -logp + kin0
 
-        def leaf(st, xs_leaf):
+        if cfg.traj_store:
+            # store-then-select: the leaf carries ONLY the integrator state;
+            # per-leaf proposal bookkeeping (logaddexp, take, proposal
+            # carries, freeze selects) is replaced by stacked scan outputs
+            # and one Gumbel-max categorical after the trajectory. A dead
+            # (divergent) leg keeps integrating — its states carry
+            # w = -inf, so NaNs/infs can never be selected, and `dead`
+            # persists so a leg never resurrects after an energy excursion.
+            def leaf_s(st, i):
+                qq, pp, gg, dead = st
+                flip = i == j
+                qq = jnp.where(flip, q, qq)
+                pp = jnp.where(flip, p0, pp)
+                gg = jnp.where(flip, grad, gg)
+                dead = jnp.where(flip, False, dead)
+                p_half = pp + 0.5 * epsc * gg
+                q_new = qq + epsc * p_half * m_inv[None, :]
+                lp_new, g_new = value_and_grad(q_new)
+                p_new = p_half + 0.5 * epsc * g_new
+                kin = 0.5 * jnp.sum(p_new * p_new * m_inv[None, :], axis=1)
+                Hn = -lp_new + kin
+                bad = jnp.isnan(Hn) | ((Hn - H0) > max_e)
+                dead = dead | bad
+                w = jnp.where(dead, -jnp.inf, H0 - Hn)
+                return ((q_new, p_new, g_new, dead),
+                        (q_new, lp_new, kin, w, dead))
+
+            st0 = (q, -p0, grad, jnp.zeros(n_chains, bool))
+            _, ys = jax.lax.scan(leaf_s, st0, jnp.arange(n_leap),
+                                 unroll=cfg.leaf_unroll)
+            qs, lps, kins, ws, dead_trace = ys
+            # categorical over the n+1 trajectory states (initial state has
+            # weight 1 <=> w = 0) via Gumbel-max — the same distribution the
+            # streaming reservoir update realizes, in one pass
+            w_all = jnp.concatenate(
+                [jnp.zeros((1, n_chains), dtype), ws], axis=0)
+            u_g = jax.random.uniform(k_sel, (n_leap + 1, n_chains), dtype,
+                                     minval=jnp.finfo(dtype).tiny, maxval=1.0)
+            idx = jnp.argmax(w_all - jnp.log(-jnp.log(u_g)), axis=0)
+            sel = idx - 1
+            took = sel >= 0
+            safe = jnp.maximum(sel, 0)
+            q_sel = jnp.take_along_axis(
+                qs, safe[None, :, None], axis=0)[0]
+            q_next = jnp.where(took[:, None], q_sel, q)
+            logp_next = jnp.where(
+                took, jnp.take_along_axis(lps, safe[None, :], axis=0)[0],
+                logp)
+            kin_next = jnp.where(
+                took, jnp.take_along_axis(kins, safe[None, :], axis=0)[0],
+                kin0)
+            _, grad_next = value_and_grad(q_next)
+            diverging = dead_trace.any(axis=0)
+            accept_prob = jnp.minimum(1.0, jnp.exp(ws)).sum(axis=0) / n_leap
+        else:
+          def leaf(st, xs_leaf):
             i, u = xs_leaf
             (qq, pp, gg, lp, logw, pq, plp, pgrad, pkin, sacc, dead) = st
             # the backward leg integrates with +eps from (q, -p0) (momentum
@@ -626,25 +695,27 @@ def sample_shmc(logp_fn: Callable, q0, key, warmup: int = 500,
                      logw_new, pq, plp, pgrad, pkin, sacc, dead_new),
                     dead_new)
 
-        # recompute_grad drops the (C, D) selected-gradient carry: the scan
-        # carries a zero-width placeholder and the gradient of the selected
-        # state is recomputed once after the trajectory
-        grad_carry0 = (jnp.zeros((n_chains, 0), dtype) if cfg.recompute_grad
-                       else grad)
-        st0 = (q, -p0, grad, logp,
-               jnp.zeros(n_chains, dtype), q, logp, grad_carry0, kin0,
-               jnp.zeros(n_chains, dtype), jnp.zeros(n_chains, bool))
-        # ALL selection uniforms in one RNG call (a per-leaf fold_in+threefry
-        # would cost ~20 extra ops per leaf)
-        u_sel = jax.random.uniform(k_sel, (n_leap, n_chains), dtype)
-        st, dead_trace = jax.lax.scan(leaf, st0, (jnp.arange(n_leap), u_sel),
-                                      unroll=cfg.leaf_unroll)
-        (_, p_end, _, _, logw, q_next, logp_next, grad_next, kin_next,
-         sacc, _) = st
-        if cfg.recompute_grad:
-            _, grad_next = value_and_grad(q_next)
-        diverging = dead_trace.any(axis=0)
-        accept_prob = sacc / n_leap
+          # recompute_grad drops the (C, D) selected-gradient carry: the
+          # scan carries a zero-width placeholder and the gradient of the
+          # selected state is recomputed once after the trajectory
+          grad_carry0 = (jnp.zeros((n_chains, 0), dtype)
+                         if cfg.recompute_grad else grad)
+          st0 = (q, -p0, grad, logp,
+                 jnp.zeros(n_chains, dtype), q, logp, grad_carry0, kin0,
+                 jnp.zeros(n_chains, dtype), jnp.zeros(n_chains, bool))
+          # ALL selection uniforms in one RNG call (a per-leaf
+          # fold_in+threefry would cost ~20 extra ops per leaf)
+          u_sel = jax.random.uniform(k_sel, (n_leap, n_chains), dtype)
+          st, dead_trace = jax.lax.scan(leaf, st0,
+                                        (jnp.arange(n_leap), u_sel),
+                                        unroll=cfg.leaf_unroll)
+          (_, p_end, _, _, logw, q_next, logp_next, grad_next, kin_next,
+           sacc, _) = st
+          if cfg.recompute_grad:
+              _, grad_next = value_and_grad(q_next)
+          diverging = dead_trace.any(axis=0)
+          accept_prob = sacc / n_leap
+
         H1 = -logp_next + kin_next
 
         if adapting:

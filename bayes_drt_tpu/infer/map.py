@@ -92,7 +92,7 @@ def run_lbfgs(loss_fn: Callable, x0, max_iter: int = 4000, tol: float = 1e-8,
 
 @partial(jax.jit, static_argnames=("loss_fn", "max_iter"))
 @precise_matmuls
-def newton_polish(loss_fn: Callable, x0, max_iter: int = 50,
+def newton_polish(loss_fn: Callable, x0, max_iter: int = 100,
                   tol: float = 1e-8) -> MapResult:
     """Damped (Levenberg) Newton refinement after L-BFGS.
 

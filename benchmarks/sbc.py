@@ -1,0 +1,131 @@
+"""Simulation-based calibration of the production sampler stack on TPU.
+
+Certifies (or falsifies) the whole shmc + ncp + median-eps-pooling + bf16x3
+tower against the exact Series posterior (see bayes_drt_tpu/sbc.py for the
+exact generative factorization of the Stan-style soft prior; reference
+anchor: bayes_drt/stan_model_files/Series_modelcode.txt:24-69).
+
+Stages (all timings through the tunnel; prior draws and fits run as single
+batched XLA programs):
+1. NUTS draws of the (ups_raw, ds) prior marginal — one vmapped chain per
+   simulated dataset, cross-chain rank-Rhat reported as the prior
+   certificate.
+2. Exact prior-predictive datasets (x | ups, ds is Gaussian via Cholesky).
+3. ONE production fit_spectra_batch over all datasets (z_scale=1 so the
+   fitted model IS the generative model), thinned monitor draws.
+4. Rank statistics for Rinf, induc, sigma_res, alpha_prop, alpha_re,
+   alpha_im and gamma at several tau; chi-squared uniformity p-values and
+   DKW ECDF-envelope violations per monitor.
+
+Usage:
+  python benchmarks/sbc.py                     # production config (bf16x3)
+  python benchmarks/sbc.py --precision highest # isolate bf16x3
+  python benchmarks/sbc.py --sampler nuts      # Stan-parity anchor
+  python benchmarks/sbc.py --n-sets 256 --thin 25
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+MON_NAMES = ["Rinf", "induc", "sigma_res", "alpha_prop", "alpha_re",
+             "alpha_im", "gamma(1e-4)", "gamma(1e-2)", "gamma(1)",
+             "gamma(1e2)"]
+GE_TAU = np.array([1e-4, 1e-2, 1.0, 1e2])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-sets", type=int, default=512)
+    ap.add_argument("--chains", type=int, default=4)
+    ap.add_argument("--warmup", type=int, default=150)
+    ap.add_argument("--samples", type=int, default=250)
+    ap.add_argument("--thin", type=int, default=10)
+    ap.add_argument("--n-steps", type=int, default=32)
+    ap.add_argument("--precision", default="high")
+    ap.add_argument("--sampler", default="shmc", choices=("shmc", "nuts"))
+    ap.add_argument("--prior-warmup", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bins", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    from bayes_drt_tpu import sbc
+    from bayes_drt_tpu.infer.chees import SHMCConfig
+    from bayes_drt_tpu.ops.basis import get_basis_func
+    from bayes_drt_tpu.parallel import fit_spectra_batch
+    from bayes_drt_tpu.parallel.batch import _build_shared
+
+    freq = np.logspace(6, -2, 81)          # the flagship bench grid (K=101)
+    frequencies, tau, eps, cfg, data, dn = _build_shared(freq, mode="sample")
+    print(f"model: {cfg.model_name()} K={data.L[0].shape[-1]} N={len(freq)}",
+          file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    ups_raw, ds, pdiag = sbc.sample_prior_marginal(
+        cfg, data, args.n_sets, seed=args.seed, warmup=args.prior_warmup)
+    print(f"prior marginal: {args.n_sets} draws in {time.time()-t0:.1f}s "
+          f"{pdiag}", file=sys.stderr, flush=True)
+
+    phi = np.asarray(get_basis_func("gaussian")(
+        np.log(GE_TAU[:, None] / tau[None, :]), eps))
+    z, truths = sbc.generate_datasets(cfg, data, ups_raw, ds,
+                                      jnp.asarray(phi, data.target.dtype),
+                                      seed=args.seed + 1)
+    print(f"datasets: Rinf range [{truths[:,0].min():.1f}, "
+          f"{truths[:,0].max():.1f}]", file=sys.stderr, flush=True)
+
+    kw = dict(mode="sample", chains=args.chains, warmup=args.warmup,
+              samples=args.samples, random_seed=args.seed + 2, ncp=True,
+              gamma_eval_tau=GE_TAU, z_scale=1.0, monitor_thin=args.thin)
+    if args.sampler == "shmc":
+        kw.update(sampler="shmc",
+                  shmc_cfg=SHMCConfig(n_steps=args.n_steps,
+                                      warm_steps=args.n_steps,
+                                      leaf_unroll=2, draw_unroll=2,
+                                      recompute_grad=True, eps_quantile=0.5,
+                                      precision=args.precision))
+    else:
+        kw.update(sampler="nuts", max_tree_depth=6, tree_scan=True,
+                  scan_unroll=2)
+
+    t0 = time.time()
+    res = fit_spectra_batch(frequencies, z, **kw)
+    el = time.time() - t0
+    d = res.diagnostics
+    md = d["monitor_draws"]                       # (n_sets, L, n_mon)
+    n_levels = md.shape[1]
+    print(f"fits: {args.n_sets} x {args.chains}x({args.warmup}+"
+          f"{args.samples}) in {el:.1f}s  div={d['divergence_rate'].mean():.3f} "
+          f"lpR(med)={np.median(d['logp_rhat']):.2f} "
+          f"rankRhat(med)={np.median(d['rank_rhat_max']):.2f}",
+          file=sys.stderr, flush=True)
+
+    ranks = sbc.sbc_ranks(truths, md)
+    pvals, stats = sbc.rank_uniformity(ranks, n_levels, n_bins=args.bins)
+    viol = sbc.ecdf_envelope_violations(ranks, n_levels)
+
+    print(f"\nSBC over {args.n_sets} datasets, L={n_levels} thinned draws, "
+          f"{args.bins}-bin chi2 (sampler={args.sampler}, "
+          f"precision={args.precision}, n_steps={args.n_steps}, "
+          f"w{args.warmup}+s{args.samples}):")
+    for j, nm in enumerate(MON_NAMES):
+        flag = "OK " if pvals[j] > 0.005 and not viol[j] else "FAIL"
+        print(f"  {flag} {nm:<12} chi2={stats[j]:7.1f} p={pvals[j]:.4f} "
+              f"ecdf_viol={bool(viol[j])}")
+    n_ok = int(np.sum((pvals > 0.005) & ~viol))
+    print(f"summary: {n_ok}/{len(MON_NAMES)} monitors calibrated "
+          f"(chi2 p>0.005 and ECDF inside DKW band)")
+
+
+if __name__ == "__main__":
+    main()

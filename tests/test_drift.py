@@ -51,6 +51,56 @@ def test_drift_rq_fit():
         np.trapezoid(g0[slow], np.log(tau_eval[slow]))
 
 
+def test_drift_x1_parameter_recovery():
+    """Well-identified x1 case (strong drift, low noise, four sweeps,
+    committed seed): the fitted drift time constant and the endpoint
+    polarization resistances must match truth, and the user-facing numpy
+    predict path must agree with an independent reimplementation of the
+    documented forward model (reference: inversion.py:1442-1551, 2746-2940).
+    Drift basins are multimodal in general (CLAUDE.md), so this pins the
+    one configuration where truth IS recoverable."""
+    rng = np.random.default_rng(7)
+    base_freq = np.logspace(5, -1, 25)
+    freq = np.tile(base_freq, 4)
+    times = np.linspace(0.0, 4 * 1800.0, len(freq))
+    tau_d, r0, r1 = 1500.0, 0.6, 1.4
+    omega = 2 * np.pi * freq
+    r_t = r0 + (r1 - r0) * (1 - np.exp(-times / tau_d))
+    Z = 1.0 + r_t / (1 + (1j * omega * 1e-3) ** 0.85)
+    Z = Z + 0.0005 * (rng.standard_normal(len(Z))
+                      + 1j * rng.standard_normal(len(Z)))
+
+    inv = Inverter()
+    inv.drift_map_fit(freq, Z, times, drift_model="x1", random_seed=0,
+                      n_restarts=4)
+    fits = inv.distribution_fits["DRT"]
+    # drift time constant: recovered within 1.5x (measured: 1496 vs 1500)
+    assert 1 / 1.5 < fits["tau_x1"] / tau_d < 1.5, fits["tau_x1"]
+    # endpoint polarization resistances (t=0 and t->inf distributions)
+    tau_eval = np.logspace(-7, 2, 200)
+    g0 = inv.predict_distribution_drift(0.0, eval_tau=tau_eval)
+    g_inf = inv.predict_distribution_drift(1e7, eval_tau=tau_eval)
+    rp0 = np.trapezoid(g0, np.log(tau_eval))
+    rp1 = np.trapezoid(g_inf, np.log(tau_eval))
+    assert abs(rp0 - r0) < 0.08, rp0
+    assert abs(rp1 - r1) < 0.08, rp1
+    assert abs(inv.drift_offsets["Rinf_0"] - 1.0) < 0.05
+
+    # independent numpy reimplementation of the x1 predict path:
+    # X(t) = x0 + (x1 - x0)(1 - e^{-t/tau}), Z = A@X row-wise
+    # + Rinf(t) + jwL, from PUBLIC fit attributes only
+    pm = inv._get_prediction_matrices(freq, ["DRT"])["DRT"]
+    decay = 1 - np.exp(-times / fits["tau_x1"])
+    x_t = fits["x0"][None, :] + (fits["x1"] - fits["x0"])[None, :] * decay[:, None]
+    rinf_t = (inv.drift_offsets["Rinf_0"] + inv.drift_offsets["delta_Rinf"]
+              * (1 - np.exp(-times / inv.drift_offsets["tau_Rinf"])))
+    z_manual = (np.sum(pm["A_re"] * x_t, axis=1)
+                + 1j * np.sum(pm["A_im"] * x_t, axis=1)
+                + rinf_t + 1j * omega * inv.inductance)
+    z_api = inv.predict_Z_drift(freq, times)
+    np.testing.assert_allclose(z_api, z_manual, rtol=1e-10, atol=1e-12)
+
+
 def test_drift_x1_fit():
     freq, Z, times = make_drifting_spectrum("x1")
     inv = Inverter()
