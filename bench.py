@@ -112,6 +112,10 @@ def main():
     # recompute_grad: don't carry the selected proposal's (C, D) gradient
     # through the leaf scan — one gradient recompute per draw instead of a
     # masked select per leaf (measured +4% back-to-back, draws unchanged)
+    # traj_store=True (store-then-select trajectory) wins +5% at B=512 but
+    # LOSES 6% at this B=1024 (the stacked (n_steps,B,C,D) trajectory buffer
+    # is pure HBM write traffic that the streaming form never pays); both
+    # A/Bs drift-bracketed — see benchmarks/ab_trajstore.py. Streaming stays.
     shmc_cfg = SHMCConfig(n_steps=N_STEPS, warm_steps=WARM_STEPS,
                           leaf_unroll=2, draw_unroll=2, recompute_grad=True,
                           eps_quantile=EPS_QUANTILE, precision="high")
