@@ -86,11 +86,16 @@ def _marginal_logdensity(cfg, data):
 
 
 def sample_prior_marginal(cfg, data, n_draws, seed=0, warmup=600,
-                          max_tree_depth=7):
+                          max_tree_depth=7, chunk=16):
     """n_draws independent draws of (ups_raw, ds): one NUTS chain per draw
     (vmapped), warmup + 1 retained draw each. Returns (ups_raw (n, K),
     ds (n, 3), diagnostics) where diagnostics carries the cross-chain
-    rank-Rhat of the retained set — the prior-exactness certificate."""
+    rank-Rhat of the retained set — the prior-exactness certificate.
+
+    The chains run in ``chunk``-sized slices of one compiled program: each
+    leapfrog step does a (K, K) Cholesky, and one program over many chains
+    at K~100 crashes the axon TPU worker (measured: 64 chains crash, 16 run
+    fine — the same failure class as the round-2 fused_draws crash)."""
     import jax
     import jax.numpy as jnp
 
@@ -117,8 +122,15 @@ def sample_prior_marginal(cfg, data, n_draws, seed=0, warmup=600,
                                   cfg=cfg_n)
         return draws[-1], info["diverging"].mean()
 
-    us, div = jax.jit(jax.vmap(one_chain))(jax.random.split(key, n_draws))
-    us = np.asarray(us)
+    prog = jax.jit(jax.vmap(one_chain))
+    keys = jax.random.split(key, n_draws)
+    us_parts, div_parts = [], []
+    for lo in range(0, n_draws, chunk):
+        u, dv = prog(keys[lo:lo + chunk])
+        us_parts.append(np.asarray(u))
+        div_parts.append(np.asarray(dv))
+    us = np.concatenate(us_parts, axis=0)
+    div = np.concatenate(div_parts, axis=0)
     # retained draws are one per independent chain: for the Rhat check,
     # fold them into pseudo-chains of length n//8 (needs >= 4 per chain)
     m = (n_draws // 8) * 8

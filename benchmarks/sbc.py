@@ -70,9 +70,22 @@ def main():
     print(f"model: {cfg.model_name()} K={data.L[0].shape[-1]} N={len(freq)}",
           file=sys.stderr, flush=True)
 
+    # the prior marginal depends only on (seed, n_sets, prior_warmup) — cache
+    # it on disk so sampler/precision arms reuse identical datasets (~27 min
+    # of TPU time per arm, and it makes the arms paired comparisons)
+    cache = (f"/tmp/sbc_prior_s{args.seed}_n{args.n_sets}"
+             f"_w{args.prior_warmup}.npz")
     t0 = time.time()
-    ups_raw, ds, pdiag = sbc.sample_prior_marginal(
-        cfg, data, args.n_sets, seed=args.seed, warmup=args.prior_warmup)
+    if os.path.exists(cache):
+        with np.load(cache) as f:
+            ups_raw, ds = f["ups_raw"], f["ds"]
+            pdiag = {k: float(f[k]) for k in f.files
+                     if k not in ("ups_raw", "ds")}
+        print(f"prior marginal: loaded {cache}", file=sys.stderr, flush=True)
+    else:
+        ups_raw, ds, pdiag = sbc.sample_prior_marginal(
+            cfg, data, args.n_sets, seed=args.seed, warmup=args.prior_warmup)
+        np.savez(cache, ups_raw=ups_raw, ds=ds, **pdiag)
     print(f"prior marginal: {args.n_sets} draws in {time.time()-t0:.1f}s "
           f"{pdiag}", file=sys.stderr, flush=True)
 
