@@ -40,7 +40,7 @@ half-normals by construction. So:
    the fitted model is bit-identical to the generative one) and feeds the
    thinned ``monitor_draws`` to ``sbc_ranks`` / ``rank_uniformity``.
 
-``benchmarks/sbc.py`` is the TPU driver; ``tests/test_sbc.py`` runs a
+``benchmarks/sbc.py`` is the TPU driver; ``tests/test_round4.py`` runs a
 small-N version end-to-end on CPU.
 """
 
