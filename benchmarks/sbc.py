@@ -73,12 +73,23 @@ def main():
     # the prior marginal depends only on (seed, n_sets, prior_warmup) — cache
     # it on disk so sampler/precision arms reuse identical datasets (~27 min
     # of TPU time per arm, and it makes the arms paired comparisons)
+    import glob
     cache = (f"/tmp/sbc_prior_s{args.seed}_n{args.n_sets}"
              f"_w{args.prior_warmup}.npz")
+    if not os.path.exists(cache):
+        # a larger cached run with the same seed/warmup contains this one
+        # as its prefix (chunked sampling is deterministic per chain)
+        for cand in sorted(glob.glob(
+                f"/tmp/sbc_prior_s{args.seed}_n*_w{args.prior_warmup}.npz")):
+            n_cand = int(cand.split("_n")[1].split("_")[0])
+            if n_cand >= args.n_sets:
+                cache = cand
+                break
     t0 = time.time()
     if os.path.exists(cache):
         with np.load(cache) as f:
-            ups_raw, ds = f["ups_raw"], f["ds"]
+            ups_raw = f["ups_raw"][:args.n_sets]
+            ds = f["ds"][:args.n_sets]
             pdiag = {k: float(f[k]) for k in f.files
                      if k not in ("ups_raw", "ds")}
         print(f"prior marginal: loaded {cache}", file=sys.stderr, flush=True)
