@@ -194,23 +194,52 @@ def _split_rhat_jnp(x):
     return jnp.sqrt(var_plus / jnp.maximum(w, jnp.finfo(x.dtype).tiny))
 
 
-def rhat_rank_jnp(draws):
+def _map_param_chunks(fn, draws, d_chunk):
+    """Apply a per-parameter diagnostic ``fn((c, n, chunk)) -> (chunk,)``
+    sequentially over parameter blocks with ``lax.map``. Every estimator
+    here treats parameters independently, so chunking is exact; it exists
+    to bound the FFT/argsort workspace — at 4 chains x 500 draws x D~211 x
+    B=1024 the all-parameters-at-once form needs several 3.3 GB HBM temps
+    and the program OOMs (measured: north-star budget, round 4)."""
+    import jax
+    import jax.numpy as jnp
+    c, n, d = draws.shape
+    n_chunks = -(-d // d_chunk)
+    pad = n_chunks * d_chunk - d
+    x = jnp.concatenate([draws, draws[:, :, :1].repeat(pad, axis=2)],
+                        axis=2) if pad else draws
+    x = x.reshape(c, n, n_chunks, d_chunk)
+    out = jax.lax.map(fn, jnp.moveaxis(x, 2, 0))     # (n_chunks, d_chunk)
+    return out.reshape(-1)[:d]
+
+
+def rhat_rank_jnp(draws, d_chunk=None):
     """Rank-normalized split-Rhat as a pure-jnp program so it can run ON
     DEVICE inside batched sampling programs (same estimator as
     :func:`rhat_rank`; ordinal instead of average ranks — identical for
-    continuous draws). draws: (chains, n, d) -> (d,)."""
+    continuous draws). draws: (chains, n, d) -> (d,). ``d_chunk`` bounds
+    device memory by running parameter blocks sequentially (exact)."""
     import jax.numpy as jnp
-    x = draws
-    z = _rank_normalize_jnp(x)
-    med = jnp.median(x.reshape(-1, x.shape[-1]), axis=0)
-    zf = _rank_normalize_jnp(jnp.abs(x - med))
-    return jnp.maximum(_split_rhat_jnp(z), _split_rhat_jnp(zf))
+
+    def _all(x):
+        z = _rank_normalize_jnp(x)
+        med = jnp.median(x.reshape(-1, x.shape[-1]), axis=0)
+        zf = _rank_normalize_jnp(jnp.abs(x - med))
+        return jnp.maximum(_split_rhat_jnp(z), _split_rhat_jnp(zf))
+
+    if d_chunk is None or d_chunk >= draws.shape[-1]:
+        return _all(draws)
+    return _map_param_chunks(_all, draws, d_chunk)
 
 
-def ess_bulk_jnp(draws):
+def ess_bulk_jnp(draws, d_chunk=None):
     """Bulk ESS (rank-normalized) as a pure-jnp program.
-    draws: (chains, n, d) -> (d,)."""
-    return ess_jnp(_rank_normalize_jnp(draws))
+    draws: (chains, n, d) -> (d,). ``d_chunk`` bounds device memory by
+    running parameter blocks sequentially (exact)."""
+    if d_chunk is None or d_chunk >= draws.shape[-1]:
+        return ess_jnp(_rank_normalize_jnp(draws))
+    return _map_param_chunks(
+        lambda x: ess_jnp(_rank_normalize_jnp(x)), draws, d_chunk)
 
 
 def e_bfmi(energy) -> float:

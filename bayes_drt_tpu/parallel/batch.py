@@ -150,8 +150,11 @@ def _make_summarize(cfg, unravel, chains, samples, n_dists,
         # constrain maps, and they measure the sampler's mixing in its own
         # space for the rest (ncp products). The worst-parameter bulk ESS
         # actually discriminates where the monitor-based min_ess saturates.
-        out["rank_rhat_max"] = rhat_rank_jnp(draws).max()
-        out["ess_bulk_min"] = ess_bulk_jnp(draws).min()
+        # d_chunk=32 runs parameter blocks sequentially (exact): at the
+        # north-star budget (B=1024 x 4x500 draws x D~211) the unchunked
+        # FFT/argsort workspace is several 3.3 GB HBM temps and OOMs
+        out["rank_rhat_max"] = rhat_rank_jnp(draws, d_chunk=32).max()
+        out["ess_bulk_min"] = ess_bulk_jnp(draws, d_chunk=32).min()
         if phi_eval.shape[0] > 0:
             ge = xs @ phi_eval.T
             out["gamma_eval_mean"] = ge.mean(axis=0)

@@ -194,3 +194,18 @@ def test_sbc_end_to_end_small(small_model):
     assert (ranks >= 0).all() and (ranks <= md.shape[1]).all()
     # z_scale=1 honored
     np.testing.assert_allclose(res.z_scales, 1.0)
+
+
+def test_rank_diagnostics_param_chunking_exact():
+    """d_chunk runs parameter blocks sequentially (bounds the FFT/argsort
+    workspace at the north-star budget, where the all-at-once form OOMs
+    HBM) and must be numerically exact vs the unchunked program, including
+    the padded final block."""
+    from bayes_drt_tpu.infer.diagnostics import ess_bulk_jnp, rhat_rank_jnp
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(4, 120, 37)))
+    for fn in (rhat_rank_jnp, ess_bulk_jnp):
+        ref = np.asarray(fn(x))
+        for ch in (5, 16, 37, 64):
+            np.testing.assert_allclose(np.asarray(fn(x, d_chunk=ch)), ref,
+                                       rtol=1e-10)
