@@ -129,6 +129,9 @@ def run_group(cases, mode, chains=4, warmup=150, samples=250):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes", nargs="+", default=["map", "hmc"])
+    ap.add_argument("--warmup", type=int, default=150)
+    ap.add_argument("--samples", type=int, default=250)
+    ap.add_argument("--out", default="paper_batch.csv")
     args = ap.parse_args()
 
     import jax
@@ -147,13 +150,13 @@ def main():
     rows = []
     for mode in args.modes:
         for n, grp in sorted(groups.items()):
-            rows.extend(run_group(grp, mode))
+            rows.extend(run_group(grp, mode, warmup=args.warmup,
+                                  samples=args.samples))
 
     df = pd.DataFrame(rows)
     os.makedirs(os.path.join(os.path.dirname(__file__), "results"),
                 exist_ok=True)
-    out_path = os.path.join(os.path.dirname(__file__), "results",
-                            "paper_batch.csv")
+    out_path = os.path.join(os.path.dirname(__file__), "results", args.out)
     df.to_csv(out_path, index=False)
     n_pass = int((df["status"] == "PASS").sum())
     n_fail = int((df["status"] == "FAIL").sum())
