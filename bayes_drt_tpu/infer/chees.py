@@ -102,9 +102,18 @@ def _pool_eps(eps_chains, cfg):
     warmed up in a mild region would otherwise freeze a too-large eps and
     diverge all sampling. A quantile > 0 runs above the most timid chain:
     divergent legs are never multinomial-selected, so the cost is wasted
-    trajectory, while every other chain mixes at a less-crippled eps."""
+    trajectory, while every other chain mixes at a less-crippled eps.
+
+    eps_quantile < 0 disables pooling entirely: every chain samples at its
+    OWN adapted step size (Stan/NUTS semantics — reference pystan adapts
+    per chain, inversion.py:1216). The trajectory is static-length, so
+    per-chain eps costs nothing extra; use it for sharply-peaked
+    posteriors (e.g. near-delta DRTs) where the pooled eps is too coarse
+    for the tight chains."""
     q = getattr(cfg, "eps_quantile", 0.0)
-    if q <= 0.0:
+    if q < 0.0:
+        return eps_chains
+    if q == 0.0:
         return eps_chains.min()
     return jnp.quantile(eps_chains, q)
 
@@ -445,6 +454,9 @@ class SHMCConfig(NamedTuple):
                                   # multinomial-selected, so running above
                                   # the most timid chain's eps trades some
                                   # wasted trajectory for faster mixing.
+                                  # < 0 = NO pooling: each chain samples at
+                                  # its own adapted eps (Stan semantics;
+                                  # best for sharply-peaked posteriors).
     pallas_traj: bool = False     # run each draw's whole trajectory as ONE
                                   # fused Pallas kernel with the chain-state
                                   # block VMEM-resident (infer/shmc_flat.py).

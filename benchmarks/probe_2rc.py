@@ -20,6 +20,17 @@ stack; any arm that pulls the number under 0.10 indicts the knobs that arm
 removed. Reference anchor: code_EchemActa/bayes_results/Gout_2RC_*.csv
 (Stan 4x1000, Run fits.ipynb).
 
+CONCLUSION (results/probe_2rc_*.csv, 7 arms): TRAJECTORY LENGTH.
+Both NUTS arms pass every gated cell (0.053-0.078 on the 0.25 cells), so
+the "smoothing difference" explanation was wrong. rmse_vs_ref is monotone
+in leapfrogs/draw: n32 0.105-0.107, n64 0.096-0.109, n128 0.083-0.093
+(all PASS), NUTS md8 (<=255 leaves) 0.053-0.078. Step-size pooling is
+exonerated (q0/q25/q50/per-chain within noise of each other), as are
+precision (all SHMC arms ran 'highest') and warm_steps. The double-delta
+posterior has a slow mixing direction needing 4-8x the production
+trajectory; remedy for delta-like spectra: SHMCConfig(n_steps=128) or
+sampler='nuts'.
+
 Usage: python benchmarks/probe_2rc.py [--warmup 500 --samples 500]
 """
 
@@ -46,6 +57,8 @@ def main():
     ap.add_argument("--samples", type=int, default=500)
     ap.add_argument("--arms", nargs="+",
                     default=["prod-f32", "nuts-ncp", "nuts-cen"])
+    ap.add_argument("--out", default="probe_2rc.csv",
+                    help="filename under benchmarks/results/")
     args = ap.parse_args()
 
     import jax
@@ -62,13 +75,23 @@ def main():
     freq = dfs[0]["Freq"].values
     zb = np.stack([d["Zreal"].values + 1j * d["Zimag"].values for d in dfs])
 
+    def shmc(**kw):
+        base = dict(n_steps=32, warm_steps=32, leaf_unroll=2, draw_unroll=2,
+                    recompute_grad=True, eps_quantile=0.5,
+                    precision="highest")
+        base.update(kw)
+        return dict(ncp=True, sampler="shmc", shmc_cfg=SHMCConfig(**base))
+
     arm_kw = {
-        "prod-f32": dict(ncp=True, sampler="shmc",
-                         shmc_cfg=SHMCConfig(n_steps=32, warm_steps=32,
-                                             leaf_unroll=2, draw_unroll=2,
-                                             recompute_grad=True,
-                                             eps_quantile=0.5,
-                                             precision="highest")),
+        "prod-f32": shmc(),
+        # SHMC knob arms: which configuration dimension closes the gap the
+        # NUTS arms expose on the low-noise double-delta cells?
+        "shmc-n64": shmc(n_steps=64, warm_steps=64),
+        "shmc-n128": shmc(n_steps=128, warm_steps=128),
+        "shmc-q25": shmc(eps_quantile=0.25),
+        "shmc-q0": shmc(eps_quantile=0.0),
+        "shmc-qpc": shmc(eps_quantile=-1.0),  # per-chain eps, no pooling
+        "shmc-n64q25": shmc(n_steps=64, warm_steps=64, eps_quantile=0.25),
         "nuts-ncp": dict(ncp=True, sampler="nuts", tree_scan=True,
                          scan_unroll=2, max_tree_depth=8),
         "nuts-cen": dict(ncp=False, sampler="nuts", tree_scan=True,
@@ -98,7 +121,7 @@ def main():
             })
 
     df = pd.DataFrame(rows)
-    out = os.path.join(os.path.dirname(__file__), "results", "probe_2rc.csv")
+    out = os.path.join(os.path.dirname(__file__), "results", args.out)
     df.to_csv(out, index=False)
     piv = df.pivot(index="case", columns="arm", values="rmse_vs_ref")
     print(piv.to_string(float_format=lambda v: f"{v:.4f}"))

@@ -209,3 +209,23 @@ def test_rank_diagnostics_param_chunking_exact():
         for ch in (5, 16, 37, 64):
             np.testing.assert_allclose(np.asarray(fn(x, d_chunk=ch)), ref,
                                        rtol=1e-10)
+
+
+def test_shmc_per_chain_eps():
+    """eps_quantile < 0 disables sampling-phase pooling: every chain runs
+    at its OWN adapted step size (Stan/pystan per-chain semantics). The
+    trajectory is static-length, so this costs nothing — the probe on the
+    2RC double-delta cells (benchmarks/probe_2rc.py arm shmc-qpc) measured
+    it quality-neutral there, but the mode must sample the target and
+    report per-chain (non-pooled) frozen step sizes."""
+    d = 8
+    cov, logp, rng = _corr_gauss(d, seed=7)
+    q0 = jnp.asarray(rng.standard_normal((4, d)))
+    draws, info = sample_shmc(logp, q0, jax.random.PRNGKey(2), warmup=300,
+                              samples=500,
+                              cfg=SHMCConfig(n_steps=16, eps_quantile=-1.0))
+    x = np.asarray(draws).reshape(-1, d)
+    assert np.abs(x.mean(0)).max() < 0.15
+    rel = np.abs(np.cov(x.T) - cov).max() / np.abs(cov).max()
+    assert rel < 0.15, rel
+    assert np.isfinite(x).all()
