@@ -18,6 +18,17 @@ Gates (per spectrum):
 
 Writes benchmarks/results/paper_batch.csv and prints a summary table.
 Usage: python benchmarks/paper_batch.py [--modes map hmc]
+
+Remedy arms for the sharply-peaked (delta-like) 2RC family, whose
+posterior has a slow mixing direction needing 4-8x the production
+trajectory (see benchmarks/probe_2rc.py):
+  --circuits 2RC --warmup 500 --samples 500 --sampler nuts
+    -> results/paper_batch_hmc_2rc_nuts.csv: 10/10 PASS (0.012-0.082 Rp)
+  --circuits 2RC --warmup 500 --samples 500 --n-steps 128
+    -> results/paper_batch_hmc_2rc_n128.csv: 8/10 at the production
+       bf16x3 precision (f32 passes all three gated 0.25 cells — bf16x3
+       costs ~0.01-0.02 Rp at the margin on this unusually sharp
+       posterior).
 """
 
 import argparse
@@ -56,7 +67,8 @@ def load_cases():
     return cases
 
 
-def run_group(cases, mode, chains=4, warmup=150, samples=250):
+def run_group(cases, mode, chains=4, warmup=150, samples=250, n_steps=32,
+              sampler="shmc", precision="high"):
     """One batched fit over cases sharing a frequency grid."""
     from bayes_drt_tpu.infer.chees import SHMCConfig
     from bayes_drt_tpu.parallel import evaluate_gamma as eg
@@ -69,13 +81,22 @@ def run_group(cases, mode, chains=4, warmup=150, samples=250):
     if mode == "map":
         res = fit_spectra_batch(freq, zb, mode="optimize", max_iter=1500,
                                 init_from_ridge=True, random_seed=0)
+    elif sampler == "nuts":
+        # dynamic trajectories (<=255 leaves at md8): the remedy arm for
+        # sharply-peaked (delta-like) spectra — see benchmarks/probe_2rc.py
+        res = fit_spectra_batch(freq, zb, mode="sample", chains=chains,
+                                warmup=warmup, samples=samples,
+                                random_seed=0, ncp=True, sampler="nuts",
+                                tree_scan=True, scan_unroll=2,
+                                max_tree_depth=8)
     else:
         res = fit_spectra_batch(
             freq, zb, mode="sample", chains=chains, warmup=warmup,
             samples=samples, random_seed=0, ncp=True, sampler="shmc",
-            shmc_cfg=SHMCConfig(n_steps=32, warm_steps=32, leaf_unroll=2,
-                                draw_unroll=2, recompute_grad=True,
-                                eps_quantile=0.5, precision="high"))
+            shmc_cfg=SHMCConfig(n_steps=n_steps, warm_steps=n_steps,
+                                leaf_unroll=2, draw_unroll=2,
+                                recompute_grad=True, eps_quantile=0.5,
+                                precision=precision))
     el = time.time() - t0
     print(f"  group[{len(cases)}x{len(freq)}pt] {mode}: {el:.1f}s",
           file=sys.stderr, flush=True)
@@ -131,6 +152,17 @@ def main():
     ap.add_argument("--modes", nargs="+", default=["map", "hmc"])
     ap.add_argument("--warmup", type=int, default=150)
     ap.add_argument("--samples", type=int, default=250)
+    ap.add_argument("--circuits", nargs="+", default=None,
+                    help="restrict to these circuit families")
+    ap.add_argument("--n-steps", type=int, default=32,
+                    help="SHMC leapfrogs/draw (sharply-peaked spectra need "
+                         "~128; see benchmarks/probe_2rc.py)")
+    ap.add_argument("--sampler", default="shmc", choices=["shmc", "nuts"],
+                    help="'nuts' = dynamic trajectories (md8), the remedy "
+                         "arm for delta-like spectra")
+    ap.add_argument("--precision", default="high",
+                    choices=["high", "highest"],
+                    help="SHMC matmul precision (bf16x3 vs true f32)")
     ap.add_argument("--out", default="paper_batch.csv")
     args = ap.parse_args()
 
@@ -139,6 +171,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     cases = load_cases()
+    if args.circuits:
+        cases = [c for c in cases if c["circuit"] in args.circuits]
     groups = {}
     for c in cases:
         n = len(pd.read_csv(c["z_file"]))
@@ -151,7 +185,10 @@ def main():
     for mode in args.modes:
         for n, grp in sorted(groups.items()):
             rows.extend(run_group(grp, mode, warmup=args.warmup,
-                                  samples=args.samples))
+                                  samples=args.samples,
+                                  n_steps=args.n_steps,
+                                  sampler=args.sampler,
+                                  precision=args.precision))
 
     df = pd.DataFrame(rows)
     os.makedirs(os.path.join(os.path.dirname(__file__), "results"),
