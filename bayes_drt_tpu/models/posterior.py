@@ -250,6 +250,15 @@ def sigma_tot(cfg: PosteriorConfig, data: PosteriorData, c: dict, pred):
     return jnp.sqrt(var)
 
 
+def outlier_monitor_indices(n: int) -> tuple:
+    """Frequency indices at which sigma_out is monitored for rank statistics
+    (simulation-based calibration of the ``_outliers`` model variants).
+    Shared by the batch summarizer's ``monitor_draws`` and
+    ``sbc.generate_datasets`` so the monitor columns line up by
+    construction."""
+    return (n // 5, n // 2, (4 * n) // 5)
+
+
 def log_density(cfg: PosteriorConfig, data: PosteriorData, params: dict,
                 jacobian: bool = True):
     """Joint log density matching the Stan programs' model blocks.

@@ -29,7 +29,8 @@ from ..ops.matrices import (construct_A, construct_L, construct_M,
                             default_epsilon, get_tau_basis)
 from ..models.build import (build_posterior, sort_distributions,
                             z_scale_for)
-from ..models.posterior import constrain, init_unconstrained, log_density
+from ..models.posterior import (constrain, init_unconstrained, log_density,
+                                outlier_monitor_indices)
 from ..infer.diagnostics import ess_bulk_jnp, ess_jnp, rhat_rank_jnp
 from ..infer.chees import (ChEESConfig, SHMCConfig, sample_chees,
                            sample_shmc)
@@ -169,7 +170,14 @@ def _make_summarize(cfg, unravel, chains, samples, n_dists,
                 vals = jnp.stack([c["Rinf"], c["induc"], c["sigma_res"],
                                   c["alpha_prop"], c["alpha_re"],
                                   c["alpha_im"]])
-                return jnp.concatenate([vals, phi_eval @ c["x_0"]])
+                cols = [vals, phi_eval @ c["x_0"]]
+                if cfg.outliers:
+                    # sigma_out at fixed frequencies — extra SBC monitors
+                    # for the _outliers model variants
+                    idx = jnp.asarray(outlier_monitor_indices(
+                        c["sigma_out"].shape[0]))
+                    cols.append(c["sigma_out"][idx])
+                return jnp.concatenate(cols)
 
             out["monitor_draws"] = jax.vmap(mon_of)(td)
         for i in range(1, n_dists):

@@ -42,13 +42,22 @@ half-normals by construction. So:
 
 ``benchmarks/sbc.py`` is the TPU driver; ``tests/test_round4.py`` runs a
 small-N version end-to-end on CPU.
+
+The ``_outliers`` model variants reuse the SAME (ups_raw, ds) marginal —
+the per-frequency outlier scales are independent of the x-hierarchy, so
+``generate_datasets`` simply draws ``sigma_out_raw ~ Exponential(lambda)``
+and ``sigma_out_scale ~ InvGamma(a, b)`` from their exact priors and adds
+sigma_out monitors at ``outlier_monitor_indices`` (matched by the batch
+summarizer). SBC arms for Series and Series_outliers are therefore PAIRED
+on the x-hierarchy prior draws.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .models.posterior import predict_target, sigma_tot
+from .models.posterior import (outlier_monitor_indices, predict_target,
+                               sigma_tot)
 from .models.priors import inv_gamma_lpdf, std_normal_lpdf
 
 MONITOR_SCALARS = ("Rinf", "induc", "sigma_res", "alpha_prop",
@@ -146,7 +155,14 @@ def generate_datasets(cfg, data, ups_raw, ds, gamma_eval_phi, seed=0):
     """Exact prior-predictive datasets given marginal draws.
 
     Returns (Z_batch complex (n, N), truths dict of (n,)/(n, E) arrays in
-    the model's scaled space — fit with z_scale=1 to compare)."""
+    the model's scaled space — fit with z_scale=1 to compare).
+
+    With ``cfg.outliers`` the per-frequency outlier scales are drawn from
+    their exact priors — ``sigma_out_raw ~ Exponential(lambda)``,
+    ``sigma_out_scale ~ InvGamma(alpha, beta)`` (reference:
+    Series_outliers_modelcode.txt via models/posterior.py:314-319) — and
+    the truth vector gains sigma_out at ``outlier_monitor_indices``,
+    matching the batch summarizer's monitor columns."""
     import jax
     import jax.numpy as jnp
 
@@ -162,7 +178,12 @@ def generate_datasets(cfg, data, ups_raw, ds, gamma_eval_phi, seed=0):
         m = (ds_i[0] * (L[0].T * w) @ L[0] + ds_i[1] * (L[1].T * w) @ L[1]
              + ds_i[2] * (L[2].T * w) @ L[2])
         chol = jnp.linalg.cholesky(m)
-        k1, k2, k3 = jax.random.split(key, 3)
+        # split count is conditional so the plain-Series stream stays
+        # bit-identical to the committed round-4 SBC runs
+        if cfg.outliers:
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        else:
+            k1, k2, k3 = jax.random.split(key, 3)
         # x_raw ~ N(0, M^{-1}): x = chol^{-T} xi
         xi = jax.random.normal(k1, (k,), dtype=chol.dtype)
         x_raw = jax.scipy.linalg.solve_triangular(chol.T, xi, lower=False)
@@ -177,12 +198,22 @@ def generate_datasets(cfg, data, ups_raw, ds, gamma_eval_phi, seed=0):
             "alpha_re": 0.05 * hn[4],
             "alpha_im": 0.05 * hn[5],
         }
+        truth_extra = jnp.zeros((0,), chol.dtype)
+        if cfg.outliers:
+            so_raw = (jax.random.exponential(k4, (n,), dtype=chol.dtype)
+                      / data.sigma_out_lambda)
+            g = jax.random.gamma(k5, data.sigma_out_alpha, (n,),
+                                 dtype=chol.dtype)
+            so_scale = data.sigma_out_beta / g
+            c["sigma_out"] = so_raw * so_scale * 0.05
+            idx = jnp.asarray(outlier_monitor_indices(n))
+            truth_extra = c["sigma_out"][idx]
         pred = predict_target(cfg, data, c)
         st = sigma_tot(cfg, data, c, pred)
         y = pred + st * jax.random.normal(k3, pred.shape, dtype=pred.dtype)
         truth = jnp.concatenate([
             jnp.stack([c[s] for s in MONITOR_SCALARS]),
-            gamma_eval_phi @ c["x_0"]])
+            gamma_eval_phi @ c["x_0"], truth_extra])
         return y, truth
 
     import jax.random as jrandom

@@ -22,6 +22,7 @@ Usage:
   python benchmarks/sbc.py --precision highest # isolate bf16x3
   python benchmarks/sbc.py --sampler nuts      # Stan-parity anchor
   python benchmarks/sbc.py --n-sets 256 --thin 25
+  python benchmarks/sbc.py --outliers          # Series_outliers variant
 """
 
 import argparse
@@ -52,6 +53,12 @@ def main():
     ap.add_argument("--prior-warmup", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bins", type=int, default=16)
+    ap.add_argument("--outliers", action="store_true",
+                    help="SBC of the Series_outliers variant: sigma_out "
+                         "drawn from its exact prior, monitored at 3 "
+                         "frequencies; the (ups, ds) prior stage is shared "
+                         "with (and cached from) the plain-Series arms, so "
+                         "the comparison is paired on the x-hierarchy")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +73,8 @@ def main():
     from bayes_drt_tpu.parallel.batch import _build_shared
 
     freq = np.logspace(6, -2, 81)          # the flagship bench grid (K=101)
-    frequencies, tau, eps, cfg, data, dn = _build_shared(freq, mode="sample")
+    frequencies, tau, eps, cfg, data, dn = _build_shared(
+        freq, mode="sample", outliers=args.outliers)
     print(f"model: {cfg.model_name()} K={data.L[0].shape[-1]} N={len(freq)}",
           file=sys.stderr, flush=True)
 
@@ -110,7 +118,8 @@ def main():
 
     kw = dict(mode="sample", chains=args.chains, warmup=args.warmup,
               samples=args.samples, random_seed=args.seed + 2, ncp=True,
-              gamma_eval_tau=GE_TAU, z_scale=1.0, monitor_thin=args.thin)
+              gamma_eval_tau=GE_TAU, z_scale=1.0, monitor_thin=args.thin,
+              outliers=args.outliers)
     if args.sampler == "shmc":
         kw.update(sampler="shmc",
                   shmc_cfg=SHMCConfig(n_steps=args.n_steps,
@@ -134,6 +143,13 @@ def main():
           f"rankRhat(med)={np.median(d['rank_rhat_max']):.2f}",
           file=sys.stderr, flush=True)
 
+    mon_names = list(MON_NAMES)
+    if args.outliers:
+        from bayes_drt_tpu.models.posterior import outlier_monitor_indices
+        mon_names += [f"sigma_out(f[{i}])"
+                      for i in outlier_monitor_indices(len(freq))]
+    assert md.shape[-1] == len(mon_names) == truths.shape[-1]
+
     ranks = sbc.sbc_ranks(truths, md)
     pvals, stats = sbc.rank_uniformity(ranks, n_levels, n_bins=args.bins)
     viol = sbc.ecdf_envelope_violations(ranks, n_levels)
@@ -141,13 +157,14 @@ def main():
     print(f"\nSBC over {args.n_sets} datasets, L={n_levels} thinned draws, "
           f"{args.bins}-bin chi2 (sampler={args.sampler}, "
           f"precision={args.precision}, n_steps={args.n_steps}, "
-          f"w{args.warmup}+s{args.samples}):")
-    for j, nm in enumerate(MON_NAMES):
+          f"w{args.warmup}+s{args.samples}, "
+          f"model={'Series_outliers' if args.outliers else 'Series'}):")
+    for j, nm in enumerate(mon_names):
         flag = "OK " if pvals[j] > 0.005 and not viol[j] else "FAIL"
-        print(f"  {flag} {nm:<12} chi2={stats[j]:7.1f} p={pvals[j]:.4f} "
+        print(f"  {flag} {nm:<16} chi2={stats[j]:7.1f} p={pvals[j]:.4f} "
               f"ecdf_viol={bool(viol[j])}")
     n_ok = int(np.sum((pvals > 0.005) & ~viol))
-    print(f"summary: {n_ok}/{len(MON_NAMES)} monitors calibrated "
+    print(f"summary: {n_ok}/{len(mon_names)} monitors calibrated "
           f"(chi2 p>0.005 and ECDF inside DKW band)")
 
 

@@ -196,6 +196,55 @@ def test_sbc_end_to_end_small(small_model):
     np.testing.assert_allclose(res.z_scales, 1.0)
 
 
+def test_sbc_outlier_model_generate_and_fit():
+    """SBC arm for the Series_outliers variant: the generator draws
+    sigma_out from its exact prior (Exponential(lambda) x InvGamma(a, b)
+    x 0.05 — posterior.py:314-319), the truth vector and the batch
+    summarizer's monitor_draws gain sigma_out at the same 3 fixed
+    frequencies, and ranks line up column-for-column."""
+    from bayes_drt_tpu.models.posterior import outlier_monitor_indices
+    from bayes_drt_tpu.ops.basis import get_basis_func
+
+    freq = np.logspace(4, -1, 21)
+    bf = np.logspace(4.5, -1.5, 25)
+    frequencies, tau, eps, cfg, data, dn = _build_shared(
+        freq, basis_freq=bf, mode="sample", outliers=True)
+    assert cfg.outliers
+    rng = np.random.default_rng(7)
+    n_sets = 24
+    k = data.L[0].shape[-1]
+    ups_raw = np.exp(rng.normal(-1.5, 0.3, (n_sets, k)))
+    ds = np.exp(rng.normal(0, 0.3, (n_sets, 3)))
+    ge_tau = np.array([1e-2, 1.0])
+    phi = np.asarray(get_basis_func("gaussian")(
+        np.log(ge_tau[:, None] / tau[None, :]), eps))
+    z, truths = sbc.generate_datasets(cfg, data, ups_raw, ds,
+                                      jnp.asarray(phi, data.target.dtype),
+                                      seed=8)
+    idx = outlier_monitor_indices(len(freq))
+    assert truths.shape == (n_sets, 6 + 2 + len(idx))
+    so = truths[:, 8:]
+    assert (so > 0).all()
+    # parameterization check: E[sigma_out] = 0.05 * (1/lambda) * b/(a-1)
+    lam = float(data.sigma_out_lambda)
+    a, b = float(data.sigma_out_alpha), float(data.sigma_out_beta)
+    want_mean = 0.05 * (1.0 / lam) * b / (a - 1.0)
+    assert 0.5 * want_mean < so.mean() < 2.0 * want_mean, (so.mean(), want_mean)
+
+    res = fit_spectra_batch(
+        frequencies, z[:8], mode="sample", chains=2, warmup=40, samples=40,
+        random_seed=0, ncp=True, sampler="shmc", outliers=True,
+        shmc_cfg=SHMCConfig(n_steps=8, warm_steps=8, eps_quantile=0.5),
+        basis_freq=1.0 / (2 * np.pi * tau), gamma_eval_tau=ge_tau,
+        z_scale=1.0, monitor_thin=8)
+    md = res.diagnostics["monitor_draws"]
+    assert md.shape == (8, 2 * 5, 6 + 2 + len(idx))
+    assert np.isfinite(md).all()
+    ranks = sbc.sbc_ranks(truths[:8], md)
+    assert ranks.shape == (8, md.shape[-1])
+    assert (ranks >= 0).all() and (ranks <= md.shape[1]).all()
+
+
 def test_rank_diagnostics_param_chunking_exact():
     """d_chunk runs parameter blocks sequentially (bounds the FFT/argsort
     workspace at the north-star budget, where the all-at-once form OOMs
