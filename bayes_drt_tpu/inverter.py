@@ -929,7 +929,8 @@ class Inverter:
                 "step_size": np.asarray(info["step_size"]),
                 "rhat_max": float(np.max(mcmc_diagnostics.rhat(draws_np))),
                 "rhat_rank": rhat_rank,
-                "rhat_rank_max": float(np.max(rhat_rank)),
+                # same spelling as fit_spectra_batch diagnostics / CLI CSV
+                "rank_rhat_max": float(np.max(rhat_rank)),
                 "ess_bulk": ess_bulk,
                 "ess_bulk_min": float(np.min(ess_bulk)),
                 "ess_tail": ess_tail,

@@ -876,9 +876,14 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     if "monitor_draws" in diagnostics:
         # columns: Rinf, induc (impedance units) | sigma_res, alpha_prop,
         # alpha_re, alpha_im (left in scaled space) | gamma at eval taus
+        # (dist-0 coefficient scale) | sigma_out monitors (impedance units
+        # — an impedance-space noise scale, NOT a coefficient, so it scales
+        # by z_scales like Rinf, not by scale0)
         md = diagnostics["monitor_draws"].copy()
+        n_eval = 0 if gamma_eval_tau is None else len(np.asarray(gamma_eval_tau))
         md[:, :, :2] *= z_scales[:, None, None]
-        md[:, :, 6:] *= scale0[:, None, :]
+        md[:, :, 6:6 + n_eval] *= scale0[:, None, :]
+        md[:, :, 6 + n_eval:] *= z_scales[:, None, None]
         diagnostics["monitor_draws"] = md
     return BatchFitResult(
         coef=out["coef"] * scale0,

@@ -242,7 +242,13 @@ def rank_uniformity(ranks, n_levels, n_bins=10):
     ranks = np.asarray(ranks)
     n_sets, n_mon = ranks.shape
     edges = np.linspace(0, n_levels + 1, n_bins + 1)
-    expected = n_sets / n_bins
+    # ranks live on the discrete support {0..n_levels}; when n_bins does not
+    # divide n_levels+1 the equal-width bins hold unequal numbers of support
+    # points (e.g. 101 values into 16 bins -> 6 or 7 per bin), so a flat
+    # n_sets/n_bins expectation adds a deterministic noncentrality to the
+    # chi2 statistic. Use the exact per-bin expected counts instead.
+    support_counts, _ = np.histogram(np.arange(n_levels + 1), bins=edges)
+    expected = n_sets * support_counts / (n_levels + 1)
     stats = np.empty(n_mon)
     for j in range(n_mon):
         counts, _ = np.histogram(ranks[:, j], bins=edges)
