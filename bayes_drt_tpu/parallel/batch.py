@@ -210,9 +210,14 @@ def _normalize_distributions(distributions):
 
 def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
                   nonneg=False, dtype=None, distributions=None, ncp=False,
-                  basis="gaussian", outliers=False):
+                  basis="gaussian", outliers=False, sigma_min=0.002):
     """Shared per-batch setup: matrices at the common frequency grid for an
-    arbitrary distributions dict (default: single series DRT)."""
+    arbitrary distributions dict (default: single series DRT).
+
+    The returned (normalized) distribution dicts additionally carry the
+    resolved collocation grid under private keys ``_tau``/``_epsilon`` —
+    the geometry ``predict_Z_batch`` needs to rebuild A matrices at new
+    frequencies."""
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     frequencies = np.sort(np.asarray(frequencies, float))[::-1]
@@ -247,13 +252,14 @@ def _build_shared(frequencies, basis_freq=None, epsilon=None, mode="sample",
                     f_coll, tau=tau, epsilon=eps, order=o,
                     basis=info.get("basis", basis), dtype=build_dtype))
             dist_mats[name] = mats
+            info["_tau"], info["_epsilon"] = tau, eps
             if first_tau is None:
                 first_tau, first_eps = tau, eps
 
     z_dummy = np.ones(len(frequencies)) + 0j   # replaced per spectrum via vmap
     cfg, data = build_posterior(distributions, dist_mats, frequencies, z_dummy,
                                 mode=mode, nonneg=nonneg, dtype=dtype, ncp=ncp,
-                                outliers=outliers)
+                                outliers=outliers, sigma_min=sigma_min)
     return frequencies, first_tau, first_eps, cfg, data, distributions
 
 
@@ -276,7 +282,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       basis: str = "gaussian",
                       gamma_eval_tau=None,
                       monitor_thin: int = 0,
-                      z_scale=None,
+                      z_scale=None, sigma_min: float = 0.002,
                       sampler: str = "nuts", chees_cfg=None, shmc_cfg=None,
                       warm_start: "BatchFitResult" = None) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
@@ -329,7 +335,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     frequencies, tau, eps, cfg, data, dists_norm = _build_shared(
         frequencies, basis_freq, epsilon, mode="sample" if mode == "sample" else "optimize",
         nonneg=nonneg, dtype=dtype, distributions=distributions,
-        ncp=ncp and mode == "sample", basis=basis, outliers=outliers)
+        ncp=ncp and mode == "sample", basis=basis, outliers=outliers,
+        sigma_min=sigma_min)
     n_dists = len(cfg.dists)
 
     if init_from_ridge:
@@ -861,6 +868,20 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     scale0 = rescale(0)
     diagnostics = {k: out[k] for k in out
                    if k not in ("coef", "coef_lo", "coef_hi", "r_inf", "induc")}
+    # resolved per-distribution geometry in cfg order (series first, then
+    # parallel, each name-sorted — the order coef/coef_<i> follow), so
+    # predict_Z_batch can rebuild A matrices at arbitrary frequencies
+    diagnostics["dist_geometry"] = tuple(
+        {"name": nm, "kernel": dists_norm[nm].get("kernel", "DRT"),
+         "dist_type": dists_norm[nm]["dist_type"],
+         "symmetry": dists_norm[nm].get("symmetry", "planar"),
+         "bc": dists_norm[nm].get("bc", "transmissive"),
+         "ct": dists_norm[nm].get("ct", False),
+         "k_ct": dists_norm[nm].get("k_ct", None),
+         "basis": dists_norm[nm].get("basis", basis),
+         "tau": dists_norm[nm]["_tau"],
+         "epsilon": dists_norm[nm]["_epsilon"]}
+        for nm in sort_distributions(dists_norm))
     if mode == "sample":
         # static model config alongside the sampler state, so warm_start can
         # refuse resumes across parameterizations
@@ -908,7 +929,7 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                        tree_scan: bool = False,
                        scan_unroll: int = 1,
                        basis: str = "gaussian",
-                       gamma_eval_tau=None,
+                       gamma_eval_tau=None, sigma_min: float = 0.002,
                        sampler: str = "nuts", chees_cfg=None, shmc_cfg=None,
                        warm_start: "BatchFitResult" = None) -> BatchFitResult:
     """Fit spectra with DIFFERENT frequency grids in one XLA program.
@@ -1008,7 +1029,7 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
                                  z_pad[0], mode="sample" if mode == "sample"
                                  else "optimize", nonneg=nonneg, dtype=dtype,
                                  ncp=ncp and mode == "sample",
-                                 outliers=outliers)
+                                 outliers=outliers, sigma_min=sigma_min)
     n_dists = len(cfg.dists)
 
     template = jax.tree.map(lambda a: a.astype(dtype),
@@ -1878,3 +1899,34 @@ def evaluate_gamma(result: BatchFitResult, eval_tau, which: str = "coef"):
     y = np.log(eval_tau[:, None] / result.tau[None, :])
     bases = np.asarray(phi(y, result.epsilon))
     return coefs @ bases.T
+
+
+def predict_Z_batch(result: BatchFitResult, frequencies):
+    """Predicted impedance at arbitrary frequencies for every spectrum of a
+    batch fit: Z = R_inf + jwL + sum(series A@x) + sum(parallel 1/(A@x)),
+    evaluated at the point-estimate / posterior-mean coefficients — the
+    same semantics as Inverter.predict_Z without percentile (reference:
+    inversion.py:2669-2961; the committed Zout_*.csv results are this at
+    f_train). Returns a complex (B, N) array.
+
+    Uses the per-distribution geometry recorded by fit_spectra_batch under
+    ``diagnostics['dist_geometry']``; A matrices at the new frequencies are
+    built once on the CPU backend (one-time setup math, like training)."""
+    geometry = result.diagnostics["dist_geometry"]
+    frequencies = np.asarray(frequencies, float)
+    z = (np.asarray(result.r_inf, float)[:, None]
+         + 1j * 2 * np.pi * frequencies[None, :]
+         * np.asarray(result.inductance, float)[:, None])
+    with _cpu_context():
+        for i, g in enumerate(geometry):
+            kw = dict(tau=g["tau"], epsilon=g["epsilon"], basis=g["basis"],
+                      kernel=g["kernel"], dist_type=g["dist_type"],
+                      symmetry=g["symmetry"], bc=g["bc"], ct=g["ct"],
+                      k_ct=g["k_ct"])
+            A = (np.asarray(construct_A(frequencies, "real", **kw))
+                 + 1j * np.asarray(construct_A(frequencies, "imag", **kw)))
+            coef = (result.coef if i == 0
+                    else result.diagnostics[f"coef_{i}"])
+            t = np.asarray(coef) @ A.T
+            z = z + (1.0 / t if g["dist_type"] == "parallel" else t)
+    return z
