@@ -85,6 +85,34 @@ def test_fit_spectra_batch_records_geometry():
     assert np.median(np.abs(z_hat - z) / np.abs(z)) < 0.05
 
 
+def test_split_manifest_is_total():
+    """Every test module must be assigned to exactly one split in BOTH
+    tests/SPLITS.md and tests/run_splits.sh (the rig kills any single
+    pytest process at ~27 min, so an unassigned module silently never
+    runs — see SPLITS.md)."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(__file__)
+    modules = sorted(os.path.basename(p)[:-3]
+                     for p in glob.glob(os.path.join(here, "test_*.py")))
+
+    md = open(os.path.join(here, "SPLITS.md")).read()
+    md_counts = {m: len(re.findall(rf"\b{m}\b(?!\.py)",
+                                   md.split("Timing history")[0].split("|--")[-1]))
+                 for m in modules}
+    sh = open(os.path.join(here, "run_splits.sh")).read()
+    sh_counts = {m: sh.count(f"tests/{m}.py") for m in modules}
+
+    missing_md = [m for m, c in md_counts.items() if c == 0]
+    dup_md = [m for m, c in md_counts.items() if c > 1]
+    bad_sh = [m for m, c in sh_counts.items() if c != 1]
+    assert not missing_md, f"modules missing from SPLITS.md table: {missing_md}"
+    assert not dup_md, f"modules listed twice in SPLITS.md table: {dup_md}"
+    assert not bad_sh, f"modules not exactly once in run_splits.sh: {bad_sh}"
+
+
 def test_sigma_min_reaches_posterior():
     """sigma_min is the error-scale floor (reference: inversion.py:1116-1119);
     an absurdly large floor must visibly loosen the fit."""
