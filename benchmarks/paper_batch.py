@@ -72,7 +72,7 @@ def run_group(cases, mode, chains=4, warmup=150, samples=250, n_steps=32,
     """One batched fit over cases sharing a frequency grid."""
     from bayes_drt_tpu.infer.chees import SHMCConfig
     from bayes_drt_tpu.parallel import evaluate_gamma as eg
-    from bayes_drt_tpu.parallel import fit_spectra_batch
+    from bayes_drt_tpu.parallel import fit_spectra_batch, predict_Z_batch
 
     dfs = [pd.read_csv(c["z_file"]) for c in cases]
     freq = dfs[0]["Freq"].values
@@ -135,6 +135,16 @@ def run_group(cases, mode, chains=4, warmup=150, samples=250, n_steps=32,
         else:
             ok = row["rmse_vs_ref"] <= 0.10
             row["gate"] = "vs_ref<=0.10Rp"
+        # posterior-predictive impedance vs the committed Zout (Stan
+        # generated quantities, Series_modelcode.txt:70-73)
+        zout_file = f"{ref_dir}/Zout_{c['name']}.csv"
+        if os.path.exists(zout_file):
+            zr = pd.read_csv(zout_file)
+            z_ref = zr["Zreal"].values + 1j * zr["Zimag"].values
+            z_us = predict_Z_batch(res, zr["freq"].values)[i]
+            z_dev = float(np.median(np.abs(z_us - z_ref) / np.abs(z_ref)))
+            row["z_dev"] = z_dev
+            ok = ok and z_dev <= 0.02
         if mode == "map":
             row["grad_norm"] = float(res.diagnostics["grad_norm"][i])
             row["converged"] = bool(res.diagnostics["converged"][i])
@@ -142,6 +152,9 @@ def run_group(cases, mode, chains=4, warmup=150, samples=250, n_steps=32,
             row["logp_rhat"] = float(res.diagnostics["logp_rhat"][i])
             row["divergence_rate"] = float(
                 res.diagnostics["divergence_rate"][i])
+            for k in ("ess_bulk_min", "rank_rhat_max", "min_ess"):
+                if k in res.diagnostics:
+                    row[k] = float(np.asarray(res.diagnostics[k])[i])
         row["status"] = "PASS" if ok else "FAIL"
         out.append(row)
     return out

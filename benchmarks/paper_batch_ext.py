@@ -1,0 +1,376 @@
+"""Extended paper-batch regression sweep: every committed reference result
+cell OUTSIDE the single-DRT circuit set swept by paper_batch.py — the DDT,
+multi-distribution, and experimental families (reference
+code_EchemActa/{map_results,bayes_results}/Gout_*.csv, "Run fits.ipynb"
+cells 16-30):
+
+- BimodalTP-DDT / BimodalBP-DDT: pure parallel planar DDT (transmissive /
+  blocking), basis logspace(6,-3,91) — 7 cells each, MAP + HMC.
+- DRT-2/3/4-TpDDT: Series-Parallel (DRT + TP-DDT, x_scale=0.8, basis 81)
+  — MAP noiseless + uniform_0.25, HMC uniform_0.25.
+- DRT-TpDDT-BpDDT: Series-2Parallel (DRT + TP-DDT + BP-DDT); MAP basis
+  logspace(6,-2.4,85), x_scale TP=0.8/BP=1.0; HMC basis logspace(6,-2,81),
+  x_scale 0.5/0.5 (notebook cell 20 comments).
+- LIB_data / LIB_data_qtr: experimental DRT, basis logspace(4,-5,91)
+  (+ the MAP-only DRT-TpDDT variants; their x_scale is not recorded in the
+  committed notebook — fit with x_scale=1 and report).
+- PDAC (x {1-dist, DRT-TpDDT} x {plain, outliers}): experimental, basis
+  logspace(7,-3,101), TP-DDT x_scale 3 (MAP) / 2 (HMC), nonneg for 2-dist.
+
+Gates per case:
+- simulated (truth exists): per-column truth-RMSE <= 1.5x the committed
+  reference fit's truth-RMSE + 0.02*scale (the standard of paper_batch.py /
+  tests/test_reference_regression.py), scale = max(|trapz|, max|col|).
+- experimental (no truth): per-column agreement with the committed
+  reference recovery, RMSE <= gate*scale(ref col); default 0.10, PDAC
+  TP-DDT 0.25 (the calibrated gates of tests/test_multidist.py).
+- ALL cells: posterior-predictive impedance vs the committed Zout_*.csv
+  (Stan generated quantities, Series_modelcode.txt:70-73): median relative
+  deviation of predict_Z_batch from the reference's Z_hat <= 0.02 for
+  simulated / 0.05 for experimental cells.
+
+Writes benchmarks/results/paper_batch_ext_{mode}.csv.
+Usage: python benchmarks/paper_batch_ext.py [--modes map hmc]
+       [--families Bimodal SP S2P LIB PDAC] [--sampler nuts|shmc]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+SIM = "/root/reference/data/simulated"
+EXP = "/root/reference/data/experimental"
+MAPR = "/root/reference/code_EchemActa/map_results"
+BAYR = "/root/reference/code_EchemActa/bayes_results"
+
+BIMODAL_NOISES = (["noiseless"]
+                  + [f"{k}_{v}" for k in ("uniform", "Macdonald", "Orazem")
+                     for v in ("0.05", "0.25")])
+
+
+def load_sim(name):
+    df = pd.read_csv(f"{SIM}/Z_{name}.csv")
+    return df["Freq"].values, df["Zreal"].values + 1j * df["Zimag"].values
+
+
+def load_lib(fname):
+    path = f"{EXP}/{fname}"
+    if path.endswith(".txt"):
+        df = pd.read_csv(path, sep="\t", header=None)
+        df = pd.DataFrame(df.values, columns=["Freq", "Zreal", "Zimag"])
+    else:
+        df = pd.read_csv(path)
+    return df["Freq"].values, df["Zreal"].values + 1j * df["Zimag"].values
+
+
+def load_pdac():
+    from bayes_drt_tpu.io import get_fZ, read_eis
+    df = read_eis(f"{EXP}/PDAC_COM3_02109_Contact10_2065C_500C.txt")
+    return get_fZ(df)
+
+
+def ddt_dists(bc):
+    return {"DDT": {"kernel": "DDT", "symmetry": "planar", "bc": bc,
+                    "dist_type": "parallel",
+                    "basis_freq": np.logspace(6, -3, 91)}}
+
+
+def sp_dists():
+    return {"DRT": {"kernel": "DRT", "basis_freq": np.logspace(6, -2, 81)},
+            "TP-DDT": {"kernel": "DDT", "symmetry": "planar",
+                       "bc": "transmissive", "dist_type": "parallel",
+                       "basis_freq": np.logspace(6, -2, 81), "x_scale": 0.8}}
+
+
+def s2p_dists(mode):
+    bf = np.logspace(6, -2.4, 85) if mode == "map" else np.logspace(6, -2, 81)
+    xs_tp, xs_bp = (0.8, 1.0) if mode == "map" else (0.5, 0.5)
+    return {"DRT": {"kernel": "DRT", "basis_freq": bf},
+            "TP-DDT": {"kernel": "DDT", "symmetry": "planar",
+                       "bc": "transmissive", "dist_type": "parallel",
+                       "basis_freq": bf, "x_scale": xs_tp},
+            "BP-DDT": {"kernel": "DDT", "symmetry": "planar",
+                       "bc": "blocking", "dist_type": "parallel",
+                       "basis_freq": bf, "x_scale": xs_bp}}
+
+
+def lib_dists(two_dist):
+    bf = np.logspace(4, -5, 91)
+    d = {"DRT": {"kernel": "DRT", "basis_freq": bf}}
+    if two_dist:
+        # the committed notebook does not record the LIB DRT-TpDDT config
+        # (the cell was overwritten); x_scale=1 is the library default
+        d["TP-DDT"] = {"kernel": "DDT", "symmetry": "planar",
+                       "bc": "transmissive", "dist_type": "parallel",
+                       "basis_freq": bf, "x_scale": 1.0}
+    return d
+
+
+def pdac_dists(two_dist, mode):
+    bf = np.logspace(7, -3, 101)
+    d = {"DRT": {"kernel": "DRT", "basis_freq": bf}}
+    if two_dist:
+        d["TP-DDT"] = {"kernel": "DDT", "symmetry": "planar",
+                       "bc": "transmissive", "dist_type": "parallel",
+                       "basis_freq": bf,
+                       "x_scale": 3.0 if mode == "map" else 2.0}
+    return d
+
+
+def build_cases(mode):
+    """Case dicts; ``cols`` maps result coefficients -> committed Gout
+    columns: (coef_key, gout_column, truth_column_or_None, agreement_gate).
+    Coefficient order is series-sorted-then-parallel-sorted
+    (models/build.py:sort_distributions)."""
+    cases = []
+
+    for fam, bc in (("BimodalTP-DDT", "transmissive"),
+                    ("BimodalBP-DDT", "blocking")):
+        for nz in BIMODAL_NOISES:
+            name = f"{fam}_{nz}"
+            if not os.path.exists(f"{SIM}/Z_{name}.csv"):
+                continue
+            cases.append(dict(
+                name=name, family="Bimodal", loader=("sim", name),
+                dists=ddt_dists(bc), nonneg=False, outliers=False,
+                sigma_min=0.005 if nz == "noiseless" else 0.002,
+                truth=f"gamma_{fam}.csv",
+                cols=[("coef", "gamma", "gamma", 0.10)]))
+
+    for n in (2, 3, 4):
+        fam = f"DRT-{n}-TpDDT"
+        noises = ["noiseless", "uniform_0.25"] if mode == "map" \
+            else ["uniform_0.25"]
+        for nz in noises:
+            name = f"{fam}_{nz}"
+            cases.append(dict(
+                name=name, family="SP", loader=("sim", name),
+                dists=sp_dists(), nonneg=True, outliers=False,
+                sigma_min=0.005 if nz == "noiseless" else 0.002,
+                truth=f"gamma_{fam}.csv",
+                cols=[("coef", "gamma", "gamma", 0.10),
+                      ("coef_1", "ftp", "ftp", 0.10)]))
+
+    noises = ["noiseless", "uniform_0.25"] if mode == "map" \
+        else ["uniform_0.25"]
+    for nz in noises:
+        name = f"DRT-TpDDT-BpDDT_{nz}"
+        cases.append(dict(
+            name=name, family="S2P", loader=("sim", name),
+            dists=s2p_dists(mode), nonneg=True, outliers=False,
+            sigma_min=0.005 if nz == "noiseless" else 0.002,
+            truth="gamma_DRT-TpDDT-BpDDT.csv",
+            # parallel names sort BP-DDT before TP-DDT
+            cols=[("coef", "gamma", "gamma", 0.10),
+                  ("coef_1", "fbp", "fbp", 0.10),
+                  ("coef_2", "ftp", "ftp", 0.10)]))
+
+    for fname, tag in (("DRTtools_LIB_data.txt", "LIB_data"),
+                       ("DRTtools_LIB_data_qtr.csv", "LIB_data_qtr")):
+        cases.append(dict(
+            name=tag, family="LIB", loader=("lib", fname),
+            dists=lib_dists(False), nonneg=False, outliers=False,
+            sigma_min=0.002, truth=None,
+            cols=[("coef", "gamma", None, 0.10)]))
+        if mode == "map":
+            cases.append(dict(
+                name=f"{tag}_DRT-TpDDT", family="LIB",
+                loader=("lib", fname), dists=lib_dists(True), nonneg=True,
+                outliers=False, sigma_min=0.002, truth=None,
+                cols=[("coef", "gamma", None, 0.10),
+                      ("coef_1", "ftp", None, 0.25)]))
+
+    for two_dist in (False, True):
+        for outliers in (False, True):
+            name = "PDAC" + ("_DRT-TpDDT" if two_dist else "") \
+                + ("_outliers" if outliers else "")
+            cols = [("coef", "gamma", None, 0.10)]
+            if two_dist:
+                cols.append(("coef_1", "ftp", None, 0.25))
+            cases.append(dict(
+                name=name, family="PDAC", loader=("pdac", None),
+                dists=pdac_dists(two_dist, mode), nonneg=two_dist,
+                outliers=outliers, sigma_min=0.002, truth=None, cols=cols))
+
+    return cases
+
+
+def curve_scale(tau, g):
+    return max(abs(float(np.trapezoid(g, np.log(tau)))),
+               float(np.max(np.abs(g))), 1e-12)
+
+
+def group_key(c):
+    """Cases fit as one batched program: identical model config + grid."""
+    import json
+
+    def enc(o):
+        return json.dumps(
+            {k: (list(np.round(v, 12)) if isinstance(v, np.ndarray) else v)
+             for k, v in o.items()}, sort_keys=True, default=str)
+
+    return (c["family"], enc({k: enc(v) for k, v in c["dists"].items()}),
+            c["nonneg"], c["outliers"], c["sigma_min"], c["n_freq"])
+
+
+def run_group(cases, mode, args):
+    from bayes_drt_tpu.infer.chees import SHMCConfig
+    from bayes_drt_tpu.parallel import (evaluate_gamma, fit_spectra_batch,
+                                        predict_Z_batch)
+
+    c0 = cases[0]
+    freq = c0["freq"]
+    for c in cases[1:]:
+        assert np.allclose(c["freq"], freq), "grid mismatch within group"
+    zb = np.stack([c["Z"] for c in cases])
+    kw = dict(distributions=c0["dists"], nonneg=c0["nonneg"],
+              outliers=c0["outliers"], sigma_min=c0["sigma_min"],
+              random_seed=0)
+    t0 = time.time()
+    if mode == "map":
+        res = fit_spectra_batch(freq, zb, mode="optimize",
+                                max_iter=args.max_iter,
+                                n_restarts=args.n_restarts, **kw)
+    elif args.sampler == "nuts":
+        res = fit_spectra_batch(freq, zb, mode="sample", chains=args.chains,
+                                warmup=args.warmup, samples=args.samples,
+                                ncp=True, sampler="nuts", tree_scan=True,
+                                scan_unroll=2, max_tree_depth=8, **kw)
+    else:
+        res = fit_spectra_batch(
+            freq, zb, mode="sample", chains=args.chains, warmup=args.warmup,
+            samples=args.samples, ncp=True, sampler="shmc",
+            shmc_cfg=SHMCConfig(n_steps=args.n_steps, warm_steps=32,
+                                leaf_unroll=2, draw_unroll=2,
+                                recompute_grad=True, eps_quantile=0.5,
+                                precision=args.precision), **kw)
+    el = time.time() - t0
+    print(f"  group[{len(cases)}x{len(freq)}pt {c0['family']}] {mode}: "
+          f"{el:.1f}s", file=sys.stderr, flush=True)
+
+    ref_dir = MAPR if mode == "map" else BAYR
+    out = []
+    for i, c in enumerate(cases):
+        row = {"case": c["name"], "mode": mode, "family": c["family"],
+               "n_freq": len(freq), "group_seconds": round(el, 1)}
+        ref_file = f"{ref_dir}/Gout_{c['name']}.csv"
+        if not os.path.exists(ref_file):
+            row["status"] = "no-reference"
+            out.append(row)
+            continue
+        ref = pd.read_csv(ref_file)
+        tau_ref = ref["tau"].values
+        gt = pd.read_csv(f"{SIM}/{c['truth']}") if c["truth"] else None
+
+        ok = True
+        for coef_key, gcol, tcol, agree_gate in c["cols"]:
+            g_ref = ref[gcol].values
+            g_us = evaluate_gamma(res, tau_ref, which=coef_key)[i]
+            scale = curve_scale(tau_ref, g_ref)
+            rmse_vs_ref = float(np.sqrt(np.mean((g_us - g_ref) ** 2))) / scale
+            row[f"{gcol}_vs_ref"] = rmse_vs_ref
+            if gt is not None and tcol is not None:
+                tau_t = gt["tau"].values
+                g_t = gt[tcol].values
+                scale_t = curve_scale(tau_t, g_t)
+                g_us_t = evaluate_gamma(res, tau_t, which=coef_key)[i]
+                g_ref_t = np.interp(np.log(tau_t), np.log(tau_ref), g_ref)
+                r_us = float(np.sqrt(np.mean((g_us_t - g_t) ** 2)))
+                r_ref = float(np.sqrt(np.mean((g_ref_t - g_t) ** 2)))
+                row[f"{gcol}_truth_us"] = r_us / scale_t
+                row[f"{gcol}_truth_ref"] = r_ref / scale_t
+                col_ok = r_us <= 1.5 * r_ref + 0.02 * scale_t
+            else:
+                col_ok = rmse_vs_ref <= agree_gate
+            ok = ok and col_ok
+
+        # posterior-predictive impedance vs the committed Zout (generated
+        # quantities parity)
+        zout_file = f"{ref_dir}/Zout_{c['name']}.csv"
+        if os.path.exists(zout_file):
+            zr = pd.read_csv(zout_file)
+            z_ref = zr["Zreal"].values + 1j * zr["Zimag"].values
+            z_us = predict_Z_batch(res, zr["freq"].values)[i]
+            z_dev = float(np.median(np.abs(z_us - z_ref) / np.abs(z_ref)))
+            row["z_dev"] = z_dev
+            z_gate = 0.02 if c["truth"] else 0.05
+            ok = ok and z_dev <= z_gate
+
+        if mode != "map":
+            for k in ("logp_rhat", "divergence_rate", "ess_bulk_min",
+                      "rank_rhat_max"):
+                if k in res.diagnostics:
+                    row[k] = float(np.asarray(res.diagnostics[k])[i])
+        row["status"] = "PASS" if ok else "FAIL"
+        out.append(row)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", nargs="+", default=["map", "hmc"])
+    ap.add_argument("--families", nargs="+", default=None)
+    ap.add_argument("--cases", nargs="+", default=None)
+    ap.add_argument("--chains", type=int, default=4)
+    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--samples", type=int, default=500)
+    ap.add_argument("--sampler", default="nuts", choices=["nuts", "shmc"])
+    ap.add_argument("--n-steps", type=int, default=128)
+    ap.add_argument("--precision", default="highest",
+                    choices=["high", "highest"])
+    ap.add_argument("--max-iter", type=int, default=2000)
+    ap.add_argument("--n-restarts", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (smoke tests; the sandbox "
+                         "forces the TPU tunnel via env, so this must be a "
+                         "config call)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    all_rows = []
+    for mode in args.modes:
+        cases = build_cases(mode)
+        if args.families:
+            cases = [c for c in cases if c["family"] in args.families]
+        if args.cases:
+            cases = [c for c in cases if c["name"] in args.cases]
+        for c in cases:
+            kind, arg = c["loader"]
+            c["freq"], c["Z"] = {"sim": lambda: load_sim(arg),
+                                 "lib": lambda: load_lib(arg),
+                                 "pdac": load_pdac}[kind]()
+            c["n_freq"] = len(c["freq"])
+        groups = {}
+        for c in cases:
+            groups.setdefault(group_key(c), []).append(c)
+        print(f"{mode}: {len(cases)} cases in {len(groups)} groups",
+              file=sys.stderr, flush=True)
+        for _, grp in sorted(groups.items()):
+            all_rows.extend(run_group(grp, mode, args))
+
+    df = pd.DataFrame(all_rows)
+    out_name = args.out or "paper_batch_ext.csv"
+    out_path = os.path.join(os.path.dirname(__file__), "results", out_name)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    df.to_csv(out_path, index=False)
+    n_pass = int((df["status"] == "PASS").sum())
+    n_fail = int((df["status"] == "FAIL").sum())
+    print(df.to_string(index=False, float_format=lambda v: f"{v:.4f}"))
+    print(f"\nsummary: {n_pass} PASS / {n_fail} FAIL "
+          f"/ {len(df) - n_pass - n_fail} no-reference -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
