@@ -82,6 +82,13 @@ def _fit_parser(sub):
                    help="sample the centered (strict Stan-coordinate) "
                         "parameterization instead of the non-centered "
                         "production default")
+    p.add_argument("--quality", choices=("fast", "strict"), default=None,
+                   help="named sampler preset (sample mode): 'fast' = the "
+                        "measured production config, 'strict' = the "
+                        "calibrated-interval config (docs/PERFORMANCE.md)")
+    p.add_argument("--no-escalate", action="store_true",
+                   help="disable the mixing-gate escalation refit of "
+                        "under-mixed spectra (sample mode)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-points", type=int, default=200,
                    help="points in the output tau grid")
@@ -169,16 +176,21 @@ def cmd_fit(args):
                 nonneg=args.nonneg, random_seed=args.seed, mesh=mesh)
         else:
             from .infer.chees import SHMCConfig
+            kw = dict(sampler=args.sampler, chains=args.chains,
+                      warmup=args.warmup, samples=args.samples,
+                      ncp=not args.centered,
+                      shmc_cfg=SHMCConfig(n_steps=32, warm_steps=32,
+                                          leaf_unroll=2, draw_unroll=2,
+                                          recompute_grad=True,
+                                          eps_quantile=0.5))
+            if args.quality:
+                kw = dict(quality=args.quality)
             res = fit_spectra_batch(
-                freq, Zb, mode="sample", sampler=args.sampler,
-                chains=args.chains, warmup=args.warmup,
-                samples=args.samples, ncp=not args.centered,
+                freq, Zb, mode="sample",
                 outliers=args.outliers, nonneg=args.nonneg,
                 random_seed=args.seed,
-                shmc_cfg=SHMCConfig(n_steps=32, warm_steps=32,
-                                    leaf_unroll=2, draw_unroll=2,
-                                    recompute_grad=True, eps_quantile=0.5),
-                gamma_eval_tau=tau_eval, mesh=mesh)
+                escalate=False if args.no_escalate else None,
+                gamma_eval_tau=tau_eval, mesh=mesh, **kw)
         elapsed = time.time() - t0
 
         gammas = evaluate_gamma(res, tau_eval)

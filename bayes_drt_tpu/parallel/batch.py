@@ -82,6 +82,23 @@ class BatchFitResult(NamedTuple):
     basis: str = "gaussian"   # RBF family the coefficients live in
 
 
+# named sampler presets for fit_spectra_batch(quality=...); every entry was
+# measured on real TPU hardware (throughput + quality frontier in
+# docs/PERFORMANCE.md). 'fast' is the bench.py production config; 'strict'
+# is the calibrated-interval config certified by tests on its convergence
+# diagnostics (benchmarks/sweep_strict.py).
+QUALITY_PRESETS = {
+    "fast": dict(
+        sampler="shmc", ncp=True, chains=4, warmup=150, samples=250,
+        shmc_cfg=SHMCConfig(n_steps=32, warm_steps=32, leaf_unroll=2,
+                            draw_unroll=2, recompute_grad=True,
+                            eps_quantile=0.5, precision="high")),
+    "strict": dict(
+        sampler="nuts", ncp=True, chains=4, warmup=1000, samples=1000,
+        max_tree_depth=10, tree_scan=True, scan_unroll=2),
+}
+
+
 def _cpu_context():
     """Matrix construction is one-time setup; keep it on the host CPU backend
     so the (slow, tunneled) TPU compiler is reserved for the sampling
@@ -156,6 +173,31 @@ def _make_summarize(cfg, unravel, chains, samples, n_dists,
         # FFT/argsort workspace is several 3.3 GB HBM temps and OOMs
         out["rank_rhat_max"] = rhat_rank_jnp(draws, d_chunk=32).max()
         out["ess_bulk_min"] = ess_bulk_jnp(draws, d_chunk=32).min()
+        # metric-normalized slow-direction detector: largest eigenvalue of
+        # the posterior covariance in the adapted metric's coordinates
+        # (power iteration on the pooled, per-chain-centered draws). A
+        # diagonal metric equalizes MARGINAL scales, so lambda_max ~ 1 for
+        # near-independent posteriors; a strong correlation ridge (the 2RC
+        # double-delta class, benchmarks/probe_2rc.py) leaves a slow
+        # direction the metric cannot see — lambda_max >> 1 — which is
+        # exactly when a fixed-length trajectory under-mixes. Between-chain
+        # scatter (chains centered on the GLOBAL mean) keeps the detector
+        # live even when within-chain movement along the ridge is slow.
+        im = info["inv_mass"]                     # (chains, D) diagonal,
+        if im.ndim == 3:                          # or (chains, D, D) dense
+            im = jnp.diagonal(im, axis1=-2, axis2=-1)
+        y = (draws - draws.reshape(-1, draws.shape[-1]).mean(0)) \
+            / jnp.sqrt(jnp.maximum(im, 1e-30))[:, None, :]
+        yf = y.reshape(-1, y.shape[-1])
+        nrm = yf.shape[0] - 1
+
+        def piter(v, _):
+            w = yf.T @ (yf @ v) / nrm
+            return w / (jnp.linalg.norm(w) + 1e-30), jnp.linalg.norm(w)
+
+        v0 = jnp.ones((yf.shape[1],), yf.dtype) / jnp.sqrt(yf.shape[1])
+        _, lams = jax.lax.scan(piter, v0, None, length=24)
+        out["metric_lambda_max"] = lams[-1]
         if phi_eval.shape[0] > 0:
             ge = xs @ phi_eval.T
             out["gamma_eval_mean"] = ge.mean(axis=0)
@@ -284,7 +326,11 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                       monitor_thin: int = 0,
                       z_scale=None, sigma_min: float = 0.002,
                       sampler: str = "nuts", chees_cfg=None, shmc_cfg=None,
-                      warm_start: "BatchFitResult" = None) -> BatchFitResult:
+                      warm_start: "BatchFitResult" = None,
+                      quality: Optional[str] = None,
+                      escalate: Optional[bool] = None,
+                      escalate_gate: Optional[dict] = None,
+                      escalate_kw: Optional[dict] = None) -> BatchFitResult:
     """Fit B spectra sharing one frequency grid in a single XLA program.
 
     Z_batch: complex array (B, N). mode='sample' runs ``chains`` NUTS chains
@@ -313,6 +359,31 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     (step size re-adapts), so a chained refit of slowly-evolving spectra
     (streaming/time-series serving) needs only a small ``warmup``.
 
+    ``quality``: named sampler preset overriding the sampler-choice kwargs
+    (sampler/cfg/budget; data/model kwargs are untouched):
+
+    - 'fast'   — the measured production configuration (SHMC n32/w32,
+      eps_quantile=0.5, bf16x3 matmuls, ncp, 4x(150+250)): the bench.py
+      config, recovery-certified (RMSE ~0.9% Rp, 95%-CI coverage ~0.97,
+      SBC-calibrated) at maximum throughput. Mixing DIAGNOSTICS at this
+      budget are screening-grade, not Stan-grade.
+    - 'strict' — calibrated-interval configuration (NUTS, ncp, true-f32
+      matmuls, long adaptation) with certified per-spectrum convergence;
+      see QUALITY_PRESETS / docs/PERFORMANCE.md for the certified numbers
+      and measured throughput.
+
+    ``escalate`` (sample mode): refit spectra that fail a per-spectrum
+    mixing gate (worst-parameter bulk ESS, ``escalation_mask``) with an
+    adaptive-trajectory sampler — by default NUTS max_depth=8 in true f32
+    at the same budget. Default None = ON for the fixed-trajectory
+    ``sampler='shmc'`` path (Stan adapts trajectory length per posterior;
+    a static trajectory silently under-mixes e.g. the 2RC double-delta
+    family — benchmarks/probe_2rc.py), OFF for nuts/chees. The refit is a
+    second cached program over only the flagged spectra; clean batches pay
+    only the host-side gate check. ``escalate_gate`` overrides threshold
+    kwargs of ``escalation_mask``; ``escalate_kw`` overrides the refit's
+    sampler kwargs. ``diagnostics['escalated']`` records the mask.
+
     ``init_from_ridge`` (optimize mode, single series DRT): seed every
     spectrum's L-BFGS from a batched hyper-lambda ridge solution (ONE run
     from the init instead of ``n_restarts`` random restarts — the
@@ -322,6 +393,24 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     ``sigma_out`` high (z-score variant of the reference's IQR check).
     ``ridge_kw`` overrides the underfitted-ridge defaults.
     """
+    if quality is not None:
+        if quality not in QUALITY_PRESETS:
+            raise ValueError(f"Unknown quality preset {quality!r}; options "
+                             f"are {sorted(QUALITY_PRESETS)}")
+        if mode != "sample":
+            raise ValueError("quality presets configure the sampler; use "
+                             "mode='sample'")
+        p = QUALITY_PRESETS[quality]
+        sampler = p["sampler"]
+        ncp = p["ncp"]
+        chains = p["chains"]
+        warmup = p["warmup"]
+        samples = p["samples"]
+        shmc_cfg = p.get("shmc_cfg", shmc_cfg)
+        max_tree_depth = p.get("max_tree_depth", max_tree_depth)
+        tree_scan = p.get("tree_scan", tree_scan)
+        scan_unroll = p.get("scan_unroll", scan_unroll)
+
     Z_batch = np.asarray(Z_batch)
     # matrices are built at DESCENDING frequencies (_build_shared); reorder
     # the data columns to match so ascending instrument exports fit correctly
@@ -906,7 +995,7 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         md[:, :, 6:6 + n_eval] *= scale0[:, None, :]
         md[:, :, 6 + n_eval:] *= z_scales[:, None, None]
         diagnostics["monitor_draws"] = md
-    return BatchFitResult(
+    result = BatchFitResult(
         coef=out["coef"] * scale0,
         r_inf=out["r_inf"] * z_scales,
         inductance=out["induc"] * z_scales,
@@ -914,6 +1003,242 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         gamma_hi=out["coef_hi"] * scale0 if mode == "sample" else None,
         z_scales=z_scales, tau=tau, epsilon=eps, diagnostics=diagnostics,
         basis=dists_norm[next(iter(dists_norm))].get("basis", basis))
+
+    # ---- bf16x3 precision guard (VERDICT r4 #6) ----
+    # precision='high' (bf16x3 matmuls) is +11% at equal quality on the
+    # verified DRT families but costs 0.01-0.02*Rp on unusually sharp
+    # posteriors (the 2RC double-delta regression,
+    # benchmarks/results/paper_batch_hmc_2rc_n128.csv). Rather than trust
+    # an allowlist, measure the actual gradient discrepancy this posterior
+    # induces, at the points the chains actually ended at; flagged spectra
+    # warn and join the escalation refit (which runs in true f32).
+    if (mode == "sample" and sampler == "shmc" and flat_fit is None
+            and sh_cfg.precision == "high"
+            and jax.default_backend() == "tpu"
+            and "state_q" in diagnostics):
+        qp = jnp.asarray(_pad_rows(np.asarray(diagnostics["state_q"]), b),
+                         dtype)
+        probe_fn = _cached_program(
+            base_key + ("bf16x3-probe",),
+            lambda: jax.jit(_bf16x3_probe_program(cfg, unravel)))
+        err = np.asarray(probe_fn(targets, qp, data))[:b_real]
+        diagnostics["bf16x3_grad_err"] = err
+        # deterministic regime guard: bf16x3 is certified (SBC + recovery
+        # gates) for the production SCREENING configuration; at long
+        # trajectories / strict sampling budgets it measurably degrades
+        # sharp posteriors (2RC n128 full budget: 8/10 vs f32 10/10,
+        # benchmarks/results/paper_batch_hmc_2rc_n128.csv) — warn exactly
+        # in that regime instead of trusting a threshold the endpoint
+        # probe cannot calibrate (see BF16X3_GRAD_TOL note)
+        if sh_cfg.n_steps > BF16X3_WARN_STEPS or samples > BF16X3_WARN_SAMPLES:
+            warnings.warn(
+                f"precision='high' (bf16x3 matmuls) at n_steps="
+                f"{sh_cfg.n_steps}/samples={samples} is outside the "
+                "verified screening regime: on sharp posteriors it costs "
+                "0.01-0.02*Rp at long trajectories (the 2RC n128 "
+                "regression, 8/10 vs f32 10/10); use "
+                "SHMCConfig(precision='highest') for final runs "
+                f"(measured grad discrepancy p50 "
+                f"{float(np.median(err)):.1e}, max {float(err.max()):.1e})")
+
+    # ---- gate-triggered escalation: refit the under-mixed tail ----
+    # Stan's NUTS adapts trajectory length per posterior automatically
+    # (reference: inversion.py:1218-1221 hands every spectrum to the same
+    # adaptive sampler); the production SHMC path runs a FIXED trajectory,
+    # which silently under-mixes posteriors with one slow direction (the
+    # 2RC double-delta family: recovery monotone in trajectory length,
+    # benchmarks/probe_2rc.py). Parity here means the default entry point
+    # detects that tail in-program and escalates it — only the flagged
+    # spectra pay the adaptive sampler's cost.
+    if (mode == "sample" and escalate is None):
+        # default ON for the fixed-trajectory production sampler only —
+        # NUTS already adapts per posterior
+        escalate = (sampler == "shmc" and warm_start is None
+                    and flat_fit is None)
+    if mode == "sample" and escalate:
+        gate_kw = dict(n_draws=chains * samples)
+        gate_kw.update(escalate_gate or {})
+        esc_mask = escalation_mask(diagnostics, b_real, **gate_kw)
+        diagnostics["escalated"] = esc_mask
+        if esc_mask.any():
+            esc_kw = dict(sampler="nuts", max_tree_depth=8, tree_scan=True,
+                          scan_unroll=2, ncp=ncp)
+            esc_kw.update(escalate_kw or {})
+            sub_z_scale = None
+            if z_scale is not None:
+                sub_z_scale = np.broadcast_to(
+                    np.asarray(z_scale, float), (b_real,))[esc_mask]
+            ge_tau_sub = gamma_eval_tau
+            warnings.warn(
+                f"{int(esc_mask.sum())}/{b_real} spectra failed the mixing "
+                f"gate; refitting them with "
+                f"{esc_kw.get('sampler', 'nuts')} (escalate=False disables)")
+            sub = fit_spectra_batch(
+                frequencies, Z_batch[:b_real][esc_mask], mode="sample",
+                basis_freq=basis_freq, epsilon=epsilon, nonneg=nonneg,
+                outliers=outliers, chains=chains, warmup=warmup,
+                samples=samples,
+                random_seed=random_seed + 1, distributions=distributions,
+                basis=basis, gamma_eval_tau=ge_tau_sub,
+                monitor_thin=monitor_thin, z_scale=sub_z_scale,
+                sigma_min=sigma_min, escalate=False, **esc_kw)
+            result = _splice_results(result, sub, esc_mask)
+    return result
+
+
+# mixing-gate thresholds for the automatic escalation pass, calibrated on
+# the full 80-cell committed-reference sweep at the production SHMC config
+# (benchmarks/results/paper_batch_hmc_full_shmc.csv): the failing 2RC
+# double-delta cells separate from every healthy cell by the
+# worst-parameter bulk ESS — the slow direction is a PARAMETER-space
+# direction, invisible to the logp monitor (the 3 failing cells sat at
+# logp split-Rhat 1.55-1.87 while healthy cells range to 23).
+ESCALATE_ESS_BULK_MIN = 2.0
+
+# bf16x3 ('high') matmul gradient-discrepancy probe: relative L2 error of
+# the log-density gradient under bf16x3 vs true-f32 matmuls, evaluated at
+# the chains' final positions; recorded as
+# diagnostics['bf16x3_grad_err'] for every precision='high' fit on TPU.
+# Measured across the full committed-reference sweep
+# (paper_batch_hmc_full_shmc.csv): the raw endpoint discrepancy is
+# CONFOUNDED by posterior sharpness (healthy noiseless cells reach 0.27
+# while the 2RC bf16x3-regression cells sit at 0.013-0.036), so it is NOT
+# a default escalation gate (tol=inf = opt-in via
+# escalate_gate=dict(bf16x3_tol=...)); the ENFORCED guard is the
+# deterministic regime warning below (long trajectories / strict budgets
+# — exactly where the 2RC n128-bf16x3 regression appeared,
+# paper_batch_hmc_2rc_n128.csv: 8/10 vs f32 10/10).
+BF16X3_GRAD_TOL = np.inf
+BF16X3_WARN_STEPS = 64            # n_steps above which bf16x3 warns
+BF16X3_WARN_SAMPLES = 400         # samples above which bf16x3 warns
+
+
+ESCALATE_LOGP_RHAT = 4.5          # absolute gate (strict budgets)
+ESCALATE_LOGP_RHAT_REL = 2.5      # x batch-median, when b_real >= 8
+ESCALATE_MIN_DRAWS = 1600         # chains*samples below which the logp
+                                  # gate is OFF: split-Rhat is mechanically
+                                  # high at screening budgets (bench median
+                                  # ~2.6 at 4x250 vs ~1.5 at 4x500) and
+                                  # recovery there is certified by
+                                  # SBC/coverage, not by Rhat
+ESCALATE_LAMBDA_MAX = np.inf      # measured NON-discriminating: healthy
+                                  # ill-identified (noiseless) posteriors
+                                  # reach lambda ~4e4 while the 2RC failure
+                                  # class sits at 855-2693 — recorded as a
+                                  # diagnostic, not a default gate
+                                  # (paper_batch_hmc_full_shmc.csv)
+
+
+def escalation_mask(diagnostics, b_real, ess_bulk_min=None,
+                    bf16x3_tol=None, logp_rhat=None, lambda_max=None,
+                    n_draws=None):
+    """Per-spectrum under-mixing flags from in-program diagnostics.
+
+    Returns a boolean (b_real,) mask flagging spectra where any of:
+
+    - worst-parameter bulk ESS (rank-normalized, Vehtari et al. 2021)
+      below its floor — catastrophic non-mixing;
+    - logp split-Rhat above max(absolute gate, rel x batch median), only
+      at Stan-grade budgets (chains*samples >= ESCALATE_MIN_DRAWS) —
+      chains sitting at different density levels. Calibration: every
+      posterior-predictive-Z disagreement vs the reference's committed
+      Stan fits had logp_rhat >= 4.95 while the healthy full-budget
+      population's median sits ~1.5
+      (benchmarks/results/paper_batch_hmc_full_shmc.csv);
+    - metric-normalized slow-direction eigenvalue (``metric_lambda_max``)
+      above its gate — OPT-IN (default off): measured non-discriminating
+      as a universal gate because healthy ill-identified posteriors are
+      equally wide (see ESCALATE_LAMBDA_MAX note), but useful on
+      populations known to be well-identified;
+    - the bf16x3 gradient-discrepancy probe
+      (``diagnostics['bf16x3_grad_err']``, present for precision='high'
+      fits on TPU) above its tolerance — also OPT-IN by default (the raw
+      endpoint-gradient discrepancy is confounded by posterior sharpness;
+      see the precision='high' regime warning for the enforced guard)."""
+    if ess_bulk_min is None:
+        ess_bulk_min = ESCALATE_ESS_BULK_MIN
+    if bf16x3_tol is None:
+        bf16x3_tol = BF16X3_GRAD_TOL
+    if lambda_max is None:
+        lambda_max = ESCALATE_LAMBDA_MAX
+    ess = np.asarray(diagnostics["ess_bulk_min"])[:b_real]
+    mask = ess < ess_bulk_min
+    lp = np.asarray(diagnostics["logp_rhat"])[:b_real]
+    if logp_rhat is None:
+        if n_draws is None or n_draws >= ESCALATE_MIN_DRAWS:
+            gate = ESCALATE_LOGP_RHAT
+            if b_real >= 8:
+                gate = max(gate, ESCALATE_LOGP_RHAT_REL * float(np.median(lp)))
+            mask = mask | (lp > gate)
+    else:
+        mask = mask | (lp > logp_rhat)
+    if "metric_lambda_max" in diagnostics:
+        mask = mask | (np.asarray(
+            diagnostics["metric_lambda_max"])[:b_real] > lambda_max)
+    if "bf16x3_grad_err" in diagnostics:
+        mask = mask | (np.asarray(diagnostics["bf16x3_grad_err"])[:b_real]
+                       > bf16x3_tol)
+    return np.asarray(mask, bool)
+
+
+def _bf16x3_probe_program(cfg, unravel):
+    """Per-spectrum relative L2 discrepancy of grad(log density) under
+    bf16x3 ('high') vs true-f32 ('highest') matmuls, max over the probe
+    points (one per chain). jax.default_matmul_precision is a trace-time
+    context, so both gradients live in ONE jitted program."""
+    def probe(targets_b, qpts, dat):
+        def one(target, qc):
+            d = dat._replace(target=target)
+
+            def f(q):
+                return log_density(cfg, d, unravel(q), jacobian=True)
+
+            def gp(q):
+                with jax.default_matmul_precision("high"):
+                    gh = jax.grad(f)(q)
+                with jax.default_matmul_precision("highest"):
+                    gf = jax.grad(f)(q)
+                return (jnp.linalg.norm(gh - gf)
+                        / (jnp.linalg.norm(gf) + 1e-30))
+
+            return jax.vmap(gp)(qc).max()
+
+        return jax.vmap(one)(targets_b, qpts)
+
+    return probe
+
+
+def _splice_results(result, sub, mask):
+    """Overwrite the masked rows of ``result`` with ``sub``'s rows (the
+    escalation refit). Array fields and per-spectrum diagnostics splice;
+    non-array / non-batch diagnostics keep the primary run's values."""
+    idx = np.flatnonzero(mask)
+    b = result.coef.shape[0]
+
+    def splice(a, s):
+        a = np.array(a, copy=True)
+        a[idx] = s
+        return a
+
+    diag = dict(result.diagnostics)
+    for k, v in sub.diagnostics.items():
+        cur = diag.get(k)
+        if (isinstance(cur, np.ndarray) and isinstance(v, np.ndarray)
+                and cur.ndim >= 1 and cur.shape[0] == b
+                and v.shape[:1] == (len(idx),)
+                and cur.shape[1:] == v.shape[1:]):
+            diag[k] = splice(cur, v)
+    diag["escalated"] = np.asarray(mask, bool)
+    return result._replace(
+        coef=splice(result.coef, sub.coef),
+        r_inf=splice(result.r_inf, sub.r_inf),
+        inductance=splice(result.inductance, sub.inductance),
+        gamma_lo=(splice(result.gamma_lo, sub.gamma_lo)
+                  if result.gamma_lo is not None else None),
+        gamma_hi=(splice(result.gamma_hi, sub.gamma_hi)
+                  if result.gamma_hi is not None else None),
+        z_scales=splice(result.z_scales, sub.z_scales),
+        diagnostics=diag)
 
 
 def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,

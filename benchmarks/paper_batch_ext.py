@@ -241,7 +241,9 @@ def run_group(cases, mode, args):
         res = fit_spectra_batch(freq, zb, mode="sample", chains=args.chains,
                                 warmup=args.warmup, samples=args.samples,
                                 ncp=True, sampler="nuts", tree_scan=True,
-                                scan_unroll=2, max_tree_depth=8, **kw)
+                                scan_unroll=2, max_tree_depth=8,
+                                escalate=None if args.escalate else False,
+                                **kw)
     else:
         res = fit_spectra_batch(
             freq, zb, mode="sample", chains=args.chains, warmup=args.warmup,
@@ -249,7 +251,8 @@ def run_group(cases, mode, args):
             shmc_cfg=SHMCConfig(n_steps=args.n_steps, warm_steps=32,
                                 leaf_unroll=2, draw_unroll=2,
                                 recompute_grad=True, eps_quantile=0.5,
-                                precision=args.precision), **kw)
+                                precision=args.precision),
+            escalate=None if args.escalate else False, **kw)
     el = time.time() - t0
     print(f"  group[{len(cases)}x{len(freq)}pt {c0['family']}] {mode}: "
           f"{el:.1f}s", file=sys.stderr, flush=True)
@@ -300,7 +303,25 @@ def run_group(cases, mode, args):
             z_dev = float(np.median(np.abs(z_us - z_ref) / np.abs(z_ref)))
             row["z_dev"] = z_dev
             z_gate = 0.02 if c["truth"] else 0.05
-            ok = ok and z_dev <= z_gate
+            # two-tier gate (see paper_batch.py): pointwise Z_hat parity,
+            # OR — where the posterior-mean Z is not data-identified and
+            # sampler mode weights legitimately differ — fit the observed
+            # data at least as well as Stan's committed Z_hat does
+            lf = np.log(np.asarray(c["freq"], float))
+            o = np.argsort(zr["freq"].values)
+            lref = np.log(zr["freq"].values[o])
+            zh_ref = (np.interp(lf, lref, zr["Zreal"].values[o])
+                      + 1j * np.interp(lf, lref, zr["Zimag"].values[o]))
+            z_us_d = predict_Z_batch(res, c["freq"])[i]
+            z_fit_us = float(np.median(np.abs(z_us_d - c["Z"])
+                                       / np.abs(c["Z"])))
+            z_fit_ref = float(np.median(np.abs(zh_ref - c["Z"])
+                                        / np.abs(c["Z"])))
+            row["z_fit_us"] = z_fit_us
+            row["z_fit_ref"] = z_fit_ref
+            ok = ok and (z_dev <= z_gate
+                         or z_fit_us <= max(1.25 * z_fit_ref,
+                                            z_fit_ref + 0.005))
 
         if mode != "map":
             for k in ("logp_rhat", "divergence_rate", "ess_bulk_min",
@@ -324,6 +345,9 @@ def main():
     ap.add_argument("--n-steps", type=int, default=128)
     ap.add_argument("--precision", default="highest",
                     choices=["high", "highest"])
+    ap.add_argument("--escalate", action="store_true",
+                    help="let fit_spectra_batch's DEFAULT mixing-gate "
+                         "escalation run (off pins escalate=False)")
     ap.add_argument("--max-iter", type=int, default=2000)
     ap.add_argument("--n-restarts", type=int, default=8)
     ap.add_argument("--out", default=None)

@@ -119,7 +119,11 @@ def main():
     kw = dict(mode="sample", chains=args.chains, warmup=args.warmup,
               samples=args.samples, random_seed=args.seed + 2, ncp=True,
               gamma_eval_tau=GE_TAU, z_scale=1.0, monitor_thin=args.thin,
-              outliers=args.outliers)
+              outliers=args.outliers,
+              # certify the RAW sampler config: the mixing-gate escalation
+              # refit (default-on for shmc) would mix NUTS draws into some
+              # datasets and unpair the sampler/precision arms
+              escalate=False)
     if args.sampler == "shmc":
         kw.update(sampler="shmc",
                   shmc_cfg=SHMCConfig(n_steps=args.n_steps,

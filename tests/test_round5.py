@@ -132,3 +132,109 @@ def test_sigma_min_reaches_posterior():
     r_loose = np.median(np.abs(predict_Z_batch(res_loose, freq) - zb)
                         / np.abs(zb))
     assert r_loose > 3 * r_tight, (r_tight, r_loose)
+
+
+# ---- round-5 late additions: mixing-gate escalation + quality presets ----
+
+def test_escalation_refits_flagged_spectra():
+    """Spectra failing the mixing gate are refit with the adaptive sampler
+    and spliced back (Stan's per-posterior adaptivity for the DEFAULT
+    batch path — reference inversion.py:1218-1221 hands every spectrum to
+    adaptive NUTS; the fixed-trajectory SHMC path must escalate its
+    under-mixed tail automatically)."""
+    import warnings
+
+    from bayes_drt_tpu.infer.chees import SHMCConfig
+
+    freq, z = _load("Z_ZARC_uniform_1.0.csv")
+    zb = np.stack([z, z * 1.1, z * 0.9])
+    cfg = SHMCConfig(n_steps=8, warm_steps=8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = fit_spectra_batch(freq, zb, mode="sample", chains=2, warmup=20,
+                                samples=20, sampler="shmc", shmc_cfg=cfg,
+                                ncp=True,
+                                escalate_gate=dict(ess_bulk_min=1e9),
+                                escalate_kw=dict(sampler="nuts",
+                                                 max_tree_depth=4))
+        msgs = [str(x.message) for x in w]
+    assert res.diagnostics["escalated"].all()
+    assert any("failed the mixing gate" in m for m in msgs), msgs
+    assert np.isfinite(res.coef).all()
+    assert res.coef.shape == (3, 101)
+
+    # a clean batch never triggers (gate at 0) and records the mask
+    res2 = fit_spectra_batch(freq, zb, mode="sample", chains=2, warmup=20,
+                             samples=20, sampler="shmc", shmc_cfg=cfg,
+                             ncp=True, escalate_gate=dict(ess_bulk_min=0.0))
+    assert res2.diagnostics["escalated"].sum() == 0
+
+    # default: ON for shmc (auto), OFF for nuts
+    res3 = fit_spectra_batch(freq, zb, mode="sample", chains=2, warmup=20,
+                             samples=20, sampler="nuts", max_tree_depth=3)
+    assert "escalated" not in res3.diagnostics
+
+
+def test_escalation_splice_changes_only_flagged_rows():
+    """_splice_results overwrites exactly the masked rows."""
+    from bayes_drt_tpu.infer.chees import SHMCConfig
+
+    freq, z = _load("Z_ZARC_uniform_1.0.csv")
+    zb = np.stack([z, z * 1.2])
+    cfg = SHMCConfig(n_steps=8, warm_steps=8)
+    kw = dict(mode="sample", chains=2, warmup=15, samples=15,
+              sampler="shmc", shmc_cfg=cfg, ncp=True)
+    base = fit_spectra_batch(freq, zb, escalate=False, **kw)
+
+    from bayes_drt_tpu.parallel import batch as batch_mod
+    sub = fit_spectra_batch(freq, zb[1:], escalate=False, mode="sample",
+                            chains=2, warmup=15, samples=15, sampler="nuts",
+                            max_tree_depth=3, ncp=True)
+    mask = np.array([False, True])
+    spliced = batch_mod._splice_results(base, sub, mask)
+    np.testing.assert_array_equal(spliced.coef[0], base.coef[0])
+    np.testing.assert_array_equal(spliced.coef[1], sub.coef[0])
+    np.testing.assert_array_equal(spliced.r_inf[0], base.r_inf[0])
+    np.testing.assert_array_equal(spliced.r_inf[1], sub.r_inf[0])
+    assert spliced.diagnostics["escalated"].tolist() == [False, True]
+    # per-spectrum diagnostics spliced; non-batch keys kept
+    np.testing.assert_array_equal(spliced.diagnostics["logp_rhat"][1],
+                                  sub.diagnostics["logp_rhat"][0])
+    np.testing.assert_array_equal(spliced.diagnostics["logp_rhat"][0],
+                                  base.diagnostics["logp_rhat"][0])
+
+
+def test_quality_presets():
+    """quality= presets expand to the documented sampler configs and
+    reject misuse; unknown names raise."""
+    freq, z = _load("Z_ZARC_uniform_1.0.csv")
+    zb = z[None, :]
+    with pytest.raises(ValueError, match="Unknown quality"):
+        fit_spectra_batch(freq, zb, mode="sample", quality="wat")
+    with pytest.raises(ValueError, match="mode='sample'"):
+        fit_spectra_batch(freq, zb, mode="optimize", quality="fast")
+    from bayes_drt_tpu.parallel.batch import QUALITY_PRESETS
+    assert set(QUALITY_PRESETS) >= {"fast", "strict"}
+    for name, p in QUALITY_PRESETS.items():
+        assert {"sampler", "ncp", "chains", "warmup", "samples"} <= set(p)
+    # 'strict' is the calibrated-interval config: adaptive NUTS, true f32
+    assert QUALITY_PRESETS["strict"]["sampler"] == "nuts"
+
+
+def test_escalation_mask_thresholds():
+    from bayes_drt_tpu.parallel.batch import escalation_mask
+
+    d = {"ess_bulk_min": np.array([1.0, 3.0, 10.0]),
+         "logp_rhat": np.array([1.0, 1.0, 1.0])}
+    assert escalation_mask(d, 3, ess_bulk_min=2.0).tolist() == [
+        True, False, False]
+    d["bf16x3_grad_err"] = np.array([0.0, 1e-3, 0.0])
+    assert escalation_mask(d, 3, ess_bulk_min=2.0,
+                           bf16x3_tol=2e-4).tolist() == [True, True, False]
+    # chains at different density levels (the posterior-predictive-Z
+    # failure class) and the metric-normalized slow-direction detector
+    d2 = {"ess_bulk_min": np.array([5.0, 5.0, 5.0]),
+          "logp_rhat": np.array([1.2, 9.0, 1.2]),
+          "metric_lambda_max": np.array([1.0, 1.0, 40.0])}
+    assert escalation_mask(d2, 3, ess_bulk_min=2.0, logp_rhat=4.5,
+                           lambda_max=20.0).tolist() == [False, True, True]
