@@ -1114,7 +1114,6 @@ BF16X3_WARN_SAMPLES = 400         # samples above which bf16x3 warns
 
 
 ESCALATE_LOGP_RHAT = 4.5          # absolute gate (strict budgets)
-ESCALATE_LOGP_RHAT_REL = 2.5      # x batch-median, when b_real >= 8
 ESCALATE_MIN_DRAWS = 1600         # chains*samples below which the logp
                                   # gate is OFF: split-Rhat is mechanically
                                   # high at screening budgets (bench median
@@ -1138,12 +1137,14 @@ def escalation_mask(diagnostics, b_real, ess_bulk_min=None,
 
     - worst-parameter bulk ESS (rank-normalized, Vehtari et al. 2021)
       below its floor — catastrophic non-mixing;
-    - logp split-Rhat above max(absolute gate, rel x batch median), only
-      at Stan-grade budgets (chains*samples >= ESCALATE_MIN_DRAWS) —
-      chains sitting at different density levels. Calibration: every
-      posterior-predictive-Z disagreement vs the reference's committed
-      Stan fits had logp_rhat >= 4.95 while the healthy full-budget
-      population's median sits ~1.5
+    - logp split-Rhat above the absolute gate, only at Stan-grade budgets
+      (chains*samples >= ESCALATE_MIN_DRAWS; split-Rhat is mechanically
+      high at screening budgets) — chains sitting at different density
+      levels. Calibration: every posterior-predictive-Z disagreement vs
+      the reference's committed Stan fits had logp_rhat >= 4.95 while the
+      healthy full-budget population's median sits ~1.5 (a batch-RELATIVE
+      rule was tried and dropped: small per-family batches of
+      mostly-pathological spectra push their own median past the gate)
       (benchmarks/results/paper_batch_hmc_full_shmc.csv);
     - metric-normalized slow-direction eigenvalue (``metric_lambda_max``)
       above its gate — OPT-IN (default off): measured non-discriminating
@@ -1166,10 +1167,7 @@ def escalation_mask(diagnostics, b_real, ess_bulk_min=None,
     lp = np.asarray(diagnostics["logp_rhat"])[:b_real]
     if logp_rhat is None:
         if n_draws is None or n_draws >= ESCALATE_MIN_DRAWS:
-            gate = ESCALATE_LOGP_RHAT
-            if b_real >= 8:
-                gate = max(gate, ESCALATE_LOGP_RHAT_REL * float(np.median(lp)))
-            mask = mask | (lp > gate)
+            mask = mask | (lp > ESCALATE_LOGP_RHAT)
     else:
         mask = mask | (lp > logp_rhat)
     if "metric_lambda_max" in diagnostics:

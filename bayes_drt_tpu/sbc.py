@@ -226,6 +226,42 @@ def generate_datasets(cfg, data, ups_raw, ds, gamma_eval_phi, seed=0):
     return z, np.asarray(truths)
 
 
+def monitor_ess(monitor_draws, chains):
+    """Per-monitor bulk ESS of stored (possibly unthinned) monitor draws.
+
+    monitor_draws: (n_sets, chains*per_chain, n_mon), chain-major (the
+    layout _make_summarize writes). Returns (n_sets, n_mon) ESS estimates
+    via FFT autocovariance with Geyer's initial-positive-sequence
+    truncation, chains pooled within each dataset. Used to CHOOSE the SBC
+    monitor thinning from measurement instead of a guessed stride."""
+    md = np.asarray(monitor_draws, np.float64)
+    n_sets, L, n_mon = md.shape
+    s = L // chains
+    x = md.reshape(n_sets, chains, s, n_mon)
+    xc = x - x.mean(axis=2, keepdims=True)
+    nfft = 1
+    while nfft < 2 * s:
+        nfft *= 2
+    f = np.fft.rfft(xc, n=nfft, axis=2)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=2)[:, :, :s].real / s
+    # chains pooled within dataset; guard zero-variance monitors
+    rho = acov.mean(axis=1) / np.maximum(acov[:, :, :1].mean(axis=1), 1e-300)
+    ess = np.empty((n_sets, n_mon))
+    for i in range(n_sets):
+        for j in range(n_mon):
+            r = rho[i, :, j]
+            # Geyer: sum consecutive lag pairs while positive
+            m = (s - 1) // 2 * 2
+            pair = (r[1:1 + m].reshape(-1, 2).sum(axis=1)
+                    if m >= 2 else np.empty(0))
+            k = 0
+            while k < len(pair) and pair[k] > 0:
+                k += 1
+            tau = 1.0 + 2.0 * r[1:1 + 2 * k].sum() if k else 1.0
+            ess[i, j] = chains * s / max(tau, 1.0)
+    return ess
+
+
 def sbc_ranks(truths, monitor_draws):
     """Rank of each true value among its thinned posterior draws.
     truths: (n_sets, n_mon); monitor_draws: (n_sets, L, n_mon).

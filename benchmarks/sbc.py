@@ -46,7 +46,14 @@ def main():
     ap.add_argument("--chains", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=150)
     ap.add_argument("--samples", type=int, default=250)
-    ap.add_argument("--thin", type=int, default=10)
+    ap.add_argument("--thin", type=int, default=0,
+                    help="monitor thinning stride; 0 (default) = choose "
+                         "from the MEASURED monitor autocorrelation: store "
+                         "unthinned monitor draws, estimate per-monitor "
+                         "ESS, and thin to one draw per integrated "
+                         "autocorrelation time (the round-4 production-arm "
+                         "failures were thin-10 autocorrelation, not bias "
+                         "— results/sbc_r4_shmc_thin40.log)")
     ap.add_argument("--n-steps", type=int, default=32)
     ap.add_argument("--precision", default="high")
     ap.add_argument("--sampler", default="shmc", choices=("shmc", "nuts"))
@@ -118,7 +125,8 @@ def main():
 
     kw = dict(mode="sample", chains=args.chains, warmup=args.warmup,
               samples=args.samples, random_seed=args.seed + 2, ncp=True,
-              gamma_eval_tau=GE_TAU, z_scale=1.0, monitor_thin=args.thin,
+              gamma_eval_tau=GE_TAU, z_scale=1.0,
+              monitor_thin=args.thin if args.thin > 0 else 1,
               outliers=args.outliers,
               # certify the RAW sampler config: the mixing-gate escalation
               # refit (default-on for shmc) would mix NUTS draws into some
@@ -140,6 +148,26 @@ def main():
     el = time.time() - t0
     d = res.diagnostics
     md = d["monitor_draws"]                       # (n_sets, L, n_mon)
+    if args.thin == 0:
+        # measured-autocorrelation thinning (VERDICT r4 #3): estimate each
+        # monitor's ESS from the UNTHINNED draws and keep one draw per
+        # integrated autocorrelation time of the SLOWEST monitor, so the
+        # rank statistics are computed from (approximately) independent
+        # draws — SBC's exchangeability requirement. The round-4
+        # production-arm chi2 failures (sigma_res p=7e-4) were exactly
+        # thin-10 autocorrelation at ESS-per-1000-draws ~ 25.
+        ess = sbc.monitor_ess(md, args.chains)
+        ess_med = np.median(ess, axis=0)
+        total = md.shape[1]
+        thin_auto = int(np.ceil(total / max(float(ess_med.min()), 4.0)))
+        s_per = total // args.chains
+        thin_auto = min(thin_auto, s_per)          # >= 1 draw per chain
+        mdc = md.reshape(md.shape[0], args.chains, s_per, md.shape[2])
+        md = mdc[:, :, thin_auto - 1::thin_auto, :].reshape(
+            md.shape[0], -1, md.shape[2])
+        print(f"auto-thin: per-monitor ESS(med) = "
+              f"{np.array2string(ess_med, precision=1)} -> stride "
+              f"{thin_auto}, L={md.shape[1]}", file=sys.stderr, flush=True)
     n_levels = md.shape[1]
     print(f"fits: {args.n_sets} x {args.chains}x({args.warmup}+"
           f"{args.samples}) in {el:.1f}s  div={d['divergence_rate'].mean():.3f} "

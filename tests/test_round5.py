@@ -238,3 +238,27 @@ def test_escalation_mask_thresholds():
           "metric_lambda_max": np.array([1.0, 1.0, 40.0])}
     assert escalation_mask(d2, 3, ess_bulk_min=2.0, logp_rhat=4.5,
                            lambda_max=20.0).tolist() == [False, True, True]
+
+
+def test_monitor_ess_detects_autocorrelation():
+    """monitor_ess (the SBC auto-thinning estimator) recovers ~N for iid
+    draws and ~N/tau for an AR(1) chain with known integrated
+    autocorrelation time tau = (1+rho)/(1-rho)."""
+    from bayes_drt_tpu.sbc import monitor_ess
+
+    rng = np.random.default_rng(0)
+    n_sets, chains, s = 4, 4, 500
+    iid = rng.normal(size=(n_sets, chains * s, 2))
+    e = monitor_ess(iid, chains)
+    assert np.median(e) > 0.5 * chains * s, np.median(e)
+
+    rho = 0.9                                   # tau = 19
+    x = np.zeros((n_sets, chains, s))
+    eps = rng.normal(size=(n_sets, chains, s))
+    for t in range(1, s):
+        x[:, :, t] = rho * x[:, :, t - 1] + eps[:, :, t]
+    ar = x.reshape(n_sets, chains * s)[:, :, None]
+    e_ar = monitor_ess(ar, chains)
+    tau = (1 + rho) / (1 - rho)
+    est_tau = chains * s / np.median(e_ar)
+    assert 0.5 * tau < est_tau < 2.0 * tau, (est_tau, tau)
