@@ -5,8 +5,10 @@ and the reference's own committed recovery.
 
 Cases: {RC, 2RC, ZARC, 2ZARC, Gerischer, ZARC-RL} x {noiseless,
 uniform/Macdonald/Orazem x 0.25/1.0/2.5} on the 81-point grid, plus
-RC-ZARC (41-pt) and trunc (53-pt) — 80 spectra, grouped by frequency grid
-and fit as ONE batched program per (grid, mode).
+RC-ZARC (41-pt) and trunc (53-pt) — 80 spectra, grouped by (frequency
+grid, model config) and fit as ONE batched program per group. Model
+configs (basis_freq / nonneg / sigma_min) reproduce the committed
+notebook per circuit — see BASIS_FREQ/NONNEG/circuit_config below.
 
 Gates (per spectrum):
 - truth exists (ZARC-family/Gerischer/trunc): our truth-RMSE must be within
@@ -54,6 +56,31 @@ TRUTH = {"ZARC": "gamma_ZARC.csv", "2ZARC": "gamma_2ZARC.csv",
          "Gerischer": "gamma_Gerischer.csv", "ZARC-RL": "gamma_ZARC-RL.csv",
          "RC-ZARC": "gamma_RC-ZARC.csv", "trunc": "gamma_trunc.csv"}
 
+# Per-circuit model configs from the committed "Run fits.ipynb":
+# - main loop (cells 3-5): default basis, nonneg_drt=True EXCEPT ZARC-RL
+#   (its inductive lobe is genuinely negative), sigma_min=0.005 noiseless /
+#   0.002 noisy (both modes);
+# - RC-ZARC (cells 8-10): dedicated basis_tau=logspace(-2,3,51),
+#   nonneg=True; the HMC cell hardcodes sigma_min=0.002 for every noise
+#   level (the noiseless branch is commented out in cell 10);
+# - trunc (cells 12-14): basis_freq=logspace(6,-2,81) extending 1.7 decades
+#   past the truncated measurement window (the unresolved low-frequency
+#   ZARC tail needs out-of-window basis mass), nonneg=False.
+# Fitting these with library defaults instead (rounds 2-4) left RC-ZARC
+# multimodal in the R_inf<->fast-lobe split and trunc unable to express
+# the tail => posterior-predictive-Z disagreements vs the committed Zout.
+BASIS_FREQ = {"RC-ZARC": 1.0 / (2 * np.pi * np.logspace(-2, 3, 51)),
+              "trunc": np.logspace(6, -2, 81)}
+NONNEG = {"ZARC-RL": False, "trunc": False}
+
+
+def circuit_config(circuit, noise, mode):
+    sig = 0.005 if noise == "noiseless" else 0.002
+    if circuit == "RC-ZARC" and mode != "map":
+        sig = 0.002
+    return dict(nonneg=NONNEG.get(circuit, True), sigma_min=sig,
+                basis_key=circuit if circuit in BASIS_FREQ else None)
+
 
 def load_cases():
     cases = []
@@ -68,7 +95,8 @@ def load_cases():
 
 
 def run_group(cases, mode, chains=4, warmup=150, samples=250, n_steps=32,
-              sampler="shmc", precision="high", escalate=False):
+              sampler="shmc", precision="high", escalate=False,
+              max_tree_depth=8):
     """One batched fit over cases sharing a frequency grid."""
     from bayes_drt_tpu.infer.chees import SHMCConfig
     from bayes_drt_tpu.parallel import evaluate_gamma as eg
@@ -77,28 +105,34 @@ def run_group(cases, mode, chains=4, warmup=150, samples=250, n_steps=32,
     dfs = [pd.read_csv(c["z_file"]) for c in cases]
     freq = dfs[0]["Freq"].values
     zb = np.stack([d["Zreal"].values + 1j * d["Zimag"].values for d in dfs])
+    cc = circuit_config(cases[0]["circuit"], cases[0]["noise"], mode)
+    for c in cases[1:]:
+        assert circuit_config(c["circuit"], c["noise"], mode) == cc, \
+            "model-config mismatch within group"
+    kw = dict(nonneg=cc["nonneg"], sigma_min=cc["sigma_min"],
+              basis_freq=BASIS_FREQ.get(cc["basis_key"]), random_seed=0)
     t0 = time.time()
     if mode == "map":
         res = fit_spectra_batch(freq, zb, mode="optimize", max_iter=1500,
-                                init_from_ridge=True, random_seed=0)
+                                init_from_ridge=True, **kw)
     elif sampler == "nuts":
         # dynamic trajectories (<=255 leaves at md8): the remedy arm for
         # sharply-peaked (delta-like) spectra — see benchmarks/probe_2rc.py
         res = fit_spectra_batch(freq, zb, mode="sample", chains=chains,
                                 warmup=warmup, samples=samples,
-                                random_seed=0, ncp=True, sampler="nuts",
+                                ncp=True, sampler="nuts",
                                 tree_scan=True, scan_unroll=2,
-                                max_tree_depth=8,
-                                escalate=None if escalate else False)
+                                max_tree_depth=max_tree_depth,
+                                escalate=None if escalate else False, **kw)
     else:
         res = fit_spectra_batch(
             freq, zb, mode="sample", chains=chains, warmup=warmup,
-            samples=samples, random_seed=0, ncp=True, sampler="shmc",
+            samples=samples, ncp=True, sampler="shmc",
             shmc_cfg=SHMCConfig(n_steps=n_steps, warm_steps=n_steps,
                                 leaf_unroll=2, draw_unroll=2,
                                 recompute_grad=True, eps_quantile=0.5,
                                 precision=precision),
-            escalate=None if escalate else False)
+            escalate=None if escalate else False, **kw)
     el = time.time() - t0
     print(f"  group[{len(cases)}x{len(freq)}pt] {mode}: {el:.1f}s",
           file=sys.stderr, flush=True)
@@ -209,6 +243,8 @@ def main():
     ap.add_argument("--sampler", default="shmc", choices=["shmc", "nuts"],
                     help="'nuts' = dynamic trajectories (md8), the remedy "
                          "arm for delta-like spectra")
+    ap.add_argument("--max-tree-depth", type=int, default=8,
+                    help="NUTS cap; Stan's default is 10")
     ap.add_argument("--precision", default="high",
                     choices=["high", "highest"],
                     help="SHMC matmul precision (bf16x3 vs true f32)")
@@ -226,23 +262,29 @@ def main():
     cases = load_cases()
     if args.circuits:
         cases = [c for c in cases if c["circuit"] in args.circuits]
-    groups = {}
-    for c in cases:
-        n = len(pd.read_csv(c["z_file"]))
-        groups.setdefault(n, []).append(c)
-    print(f"{len(cases)} cases in {len(groups)} grid groups "
-          f"({ {k: len(v) for k, v in groups.items()} })", file=sys.stderr,
-          flush=True)
 
     rows = []
     for mode in args.modes:
-        for n, grp in sorted(groups.items()):
+        # group by (grid, model config): one batched program per group.
+        # sigma_min is a PosteriorData field (a traced argument), so groups
+        # differing only in sigma_min reuse the same compiled program.
+        groups = {}
+        for c in cases:
+            n = len(pd.read_csv(c["z_file"]))
+            cc = circuit_config(c["circuit"], c["noise"], mode)
+            key = (n, cc["nonneg"], cc["basis_key"], cc["sigma_min"])
+            groups.setdefault(key, []).append(c)
+        print(f"{mode}: {len(cases)} cases in {len(groups)} groups "
+              f"({ {k: len(v) for k, v in groups.items()} })",
+              file=sys.stderr, flush=True)
+        for key, grp in sorted(groups.items(), key=str):
             rows.extend(run_group(grp, mode, warmup=args.warmup,
                                   samples=args.samples,
                                   n_steps=args.n_steps,
                                   sampler=args.sampler,
                                   precision=args.precision,
-                                  escalate=args.escalate))
+                                  escalate=args.escalate,
+                                  max_tree_depth=args.max_tree_depth))
 
     df = pd.DataFrame(rows)
     os.makedirs(os.path.join(os.path.dirname(__file__), "results"),

@@ -241,7 +241,8 @@ def run_group(cases, mode, args):
         res = fit_spectra_batch(freq, zb, mode="sample", chains=args.chains,
                                 warmup=args.warmup, samples=args.samples,
                                 ncp=True, sampler="nuts", tree_scan=True,
-                                scan_unroll=2, max_tree_depth=8,
+                                scan_unroll=2,
+                                max_tree_depth=args.max_tree_depth,
                                 escalate=None if args.escalate else False,
                                 **kw)
     else:
@@ -343,6 +344,10 @@ def main():
     ap.add_argument("--samples", type=int, default=500)
     ap.add_argument("--sampler", default="nuts", choices=["nuts", "shmc"])
     ap.add_argument("--n-steps", type=int, default=128)
+    ap.add_argument("--max-tree-depth", type=int, default=8,
+                    help="NUTS cap; Stan's default is 10 — the wide-ridge "
+                         "posteriors (blocking-DDT) need the 1023-leapfrog "
+                         "trajectories during early warmup")
     ap.add_argument("--precision", default="highest",
                     choices=["high", "highest"])
     ap.add_argument("--escalate", action="store_true",
@@ -386,7 +391,11 @@ def main():
 
     df = pd.DataFrame(all_rows)
     out_name = args.out or "paper_batch_ext.csv"
-    out_path = os.path.join(os.path.dirname(__file__), "results", out_name)
+    if os.path.sep in out_name:
+        out_path = os.path.abspath(out_name)
+    else:
+        out_path = os.path.join(os.path.dirname(__file__), "results",
+                                out_name)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     df.to_csv(out_path, index=False)
     n_pass = int((df["status"] == "PASS").sum())
