@@ -30,7 +30,7 @@ from ..ops.matrices import (construct_A, construct_L, construct_M,
 from ..models.build import (build_posterior, sort_distributions,
                             z_scale_for)
 from ..models.posterior import (constrain, init_unconstrained, log_density,
-                                outlier_monitor_indices)
+                                outlier_monitor_indices, predict_target)
 from ..infer.diagnostics import ess_bulk_jnp, ess_jnp, rhat_rank_jnp
 from ..infer.chees import (ChEESConfig, SHMCConfig, sample_chees,
                            sample_shmc)
@@ -203,6 +203,22 @@ def _make_summarize(cfg, unravel, chains, samples, n_dists,
             out["gamma_eval_mean"] = ge.mean(axis=0)
             out["gamma_eval_lo"] = jnp.percentile(ge, 2.5, axis=0)
             out["gamma_eval_hi"] = jnp.percentile(ge, 97.5, axis=0)
+        if not cfg.fitY:
+            # posterior-predictive impedance at f_train: the MEAN OVER DRAWS
+            # of the per-draw model prediction — Stan's generated-quantities
+            # semantics (reference: Parallel_modelcode.txt:76-81, and the
+            # committed Zout_*.csv are this at f_train). For parallel
+            # distributions Z depends on x through an elementwise complex
+            # INVERSION, so Z(E[x]) != E[Z(x)]: under multimodal mixing
+            # (distinct chains in different nuisance modes, e.g. the
+            # BimodalBP-DDT cells, benchmarks/probe_bpddt.py) the
+            # mean-coefficient reconstruction can cross Y ~ 0 and blow up by
+            # orders of magnitude while every individual draw fits the data.
+            preds = jax.vmap(
+                lambda q: predict_target(cfg, dat, constrain(cfg, dat,
+                                                             unravel(q))))(flat)
+            out["z_hat_mean"] = preds.mean(axis=0)
+            out["z_hat_std"] = preds.std(axis=0)
         if monitor_thin:
             td = draws[:, monitor_thin - 1::monitor_thin, :]
             td = td.reshape(-1, draws.shape[-1])
@@ -983,6 +999,15 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     for k_ge in ("gamma_eval_mean", "gamma_eval_lo", "gamma_eval_hi"):
         if k_ge in diagnostics:
             diagnostics[k_ge] = diagnostics[k_ge] * scale0
+    # posterior-mean Z_hat is in scaled impedance space (stacked re|im)
+    for k_z in ("z_hat_mean", "z_hat_std"):
+        if k_z in diagnostics:
+            diagnostics[k_z] = diagnostics[k_z] * z_scales[:, None]
+    if "z_hat_mean" in diagnostics:
+        # training grid (descending), so predict_Z_batch can serve the
+        # draws-mean prediction at f_train (Stan generated-quantities
+        # parity) instead of reconstructing from mean coefficients
+        diagnostics["f_train"] = np.asarray(frequencies, float)
     if "monitor_draws" in diagnostics:
         # columns: Rinf, induc (impedance units) | sigma_res, alpha_prop,
         # alpha_re, alpha_im (left in scaled space) | gamma at eval taus
@@ -1606,6 +1631,12 @@ def fit_spectra_ragged(spectra, mode: str = "sample", basis_freq=None,
     for k_ge in ("gamma_eval_mean", "gamma_eval_lo", "gamma_eval_hi"):
         if k_ge in diagnostics:
             diagnostics[k_ge] = diagnostics[k_ge] * scale0
+    # scaled-impedance-space posterior-mean Z_hat (rows beyond each
+    # spectrum's true grid length are padding; no shared f_train here, so
+    # predict_Z_batch's draws-mean fast path stays off for ragged fits)
+    for k_z in ("z_hat_mean", "z_hat_std"):
+        if k_z in diagnostics:
+            diagnostics[k_z] = diagnostics[k_z] * z_scales[:, None]
     return BatchFitResult(
         coef=out["coef"] * scale0, r_inf=out["r_inf"] * z_scales,
         inductance=out["induc"] * z_scales,
@@ -2234,9 +2265,28 @@ def predict_Z_batch(result: BatchFitResult, frequencies):
 
     Uses the per-distribution geometry recorded by fit_spectra_batch under
     ``diagnostics['dist_geometry']``; A matrices at the new frequencies are
-    built once on the CPU backend (one-time setup math, like training)."""
+    built once on the CPU backend (one-time setup math, like training).
+
+    When the requested frequencies are exactly the training grid of a
+    sample-mode fit, returns the stored POSTERIOR-MEAN over per-draw model
+    predictions instead (``diagnostics['z_hat_mean']``) — the reference's
+    committed Zout_*.csv are Stan generated quantities with these
+    semantics (inversion.py:2700-2703). The distinction only matters for
+    parallel distributions, where Z is nonlinear in the coefficients:
+    Z at the mean coefficient can be arbitrarily wrong under multimodal
+    chain mixing while E[Z] over draws stays faithful (the BimodalBP-DDT
+    regression, benchmarks/probe_bpddt.py)."""
     geometry = result.diagnostics["dist_geometry"]
     frequencies = np.asarray(frequencies, float)
+    f_train = result.diagnostics.get("f_train")
+    if f_train is not None and len(f_train) == len(frequencies):
+        # match the requested grid against f_train up to reordering
+        idx = np.argsort(f_train)[::-1][np.argsort(
+            np.argsort(frequencies)[::-1])]
+        if np.allclose(f_train[idx], frequencies, rtol=1e-10):
+            zm = np.asarray(result.diagnostics["z_hat_mean"], float)
+            n = len(f_train)
+            return (zm[:, :n] + 1j * zm[:, n:])[:, idx]
     z = (np.asarray(result.r_inf, float)[:, None]
          + 1j * 2 * np.pi * frequencies[None, :]
          * np.asarray(result.inductance, float)[:, None])

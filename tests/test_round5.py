@@ -240,6 +240,49 @@ def test_escalation_mask_thresholds():
                            lambda_max=20.0).tolist() == [False, True, True]
 
 
+def test_predict_z_fast_path_reorders():
+    """At f_train, predict_Z_batch serves the stored posterior-mean Z_hat
+    (Stan generated-quantities semantics, the committed Zout_*.csv), in the
+    caller's frequency order."""
+    from bayes_drt_tpu.parallel.batch import BatchFitResult
+
+    f_tr = np.array([100.0, 10.0, 1.0])
+    zm = np.array([[1.0, 2.0, 3.0, -1.0, -2.0, -3.0]])
+    res = BatchFitResult(
+        coef=np.zeros((1, 2)), r_inf=np.zeros(1), inductance=np.zeros(1),
+        gamma_lo=None, gamma_hi=None, z_scales=np.ones(1),
+        tau=np.array([1.0]), epsilon=1.0,
+        diagnostics={"dist_geometry": (), "f_train": f_tr,
+                     "z_hat_mean": zm})
+    z = predict_Z_batch(res, np.array([1.0, 10.0, 100.0]))
+    np.testing.assert_allclose(z, [[3.0 - 3j, 2.0 - 2j, 1.0 - 1j]])
+    z2 = predict_Z_batch(res, f_tr)
+    np.testing.assert_allclose(z2, [[1.0 - 1j, 2.0 - 2j, 3.0 - 3j]])
+
+
+def test_z_hat_mean_matches_point_reconstruction_when_linear():
+    """For a pure-series (linear) model the draws-mean Z_hat must equal the
+    mean-coefficient reconstruction; for parallel models they genuinely
+    differ (Z is nonlinear in x — the BimodalBP-DDT regression,
+    benchmarks/probe_bpddt.py), which is exactly why the fast path exists."""
+    freq, z = _load("Z_ZARC_uniform_1.0.csv")
+    res = fit_spectra_batch(freq, z[None, :], mode="sample", chains=2,
+                            warmup=40, samples=40, ncp=True, sampler="nuts",
+                            max_tree_depth=5, escalate=False, random_seed=0)
+    d = res.diagnostics
+    assert "z_hat_mean" in d and "z_hat_std" in d and "f_train" in d
+    n = len(freq)
+    z_fast = predict_Z_batch(res, d["f_train"])
+    np.testing.assert_array_equal(
+        z_fast, d["z_hat_mean"][:, :n] + 1j * d["z_hat_mean"][:, n:])
+    # strip f_train to force the mean-coefficient path: linear model ->
+    # identical up to accumulation order
+    d2 = dict(d)
+    d2.pop("f_train")
+    z_point = predict_Z_batch(res._replace(diagnostics=d2), d["f_train"])
+    np.testing.assert_allclose(z_point, z_fast, rtol=1e-8)
+
+
 def test_monitor_ess_detects_autocorrelation():
     """monitor_ess (the SBC auto-thinning estimator) recovers ~N for iid
     draws and ~N/tau for an AR(1) chain with known integrated
