@@ -140,6 +140,17 @@ def _make_summarize(cfg, unravel, chains, samples, n_dists,
         b_var = half * cm.var(ddof=1)
         var_plus = (half - 1) / half * w_var + b_var / half
         lp_rhat = jnp.sqrt(var_plus / jnp.maximum(w_var, 1e-12))
+        # absolute between-chain log-density gap (nats): max over chains of
+        # (best chain mean logp - chain mean logp). A chain whose retained
+        # draws sit K >> 1 nats below the best chain contributes e^-K
+        # posterior weight — it is STUCK in a spurious local mode, not
+        # exploring an alternative explanation. Unlike split-Rhat this is
+        # budget-independent (healthy 4-chain gaps are ~2 nats even at
+        # screening budgets; the BimodalBP-DDT Y~0 trap sits ~800 nats
+        # below, benchmarks/probe_bpddt.py), so it can gate escalation at
+        # every budget.
+        cmeans = lp.mean(axis=1)
+        lp_gap = cmeans.max() - cmeans.min()
         out = {
             "coef": xs.mean(axis=0),
             "coef_lo": jnp.percentile(xs, 2.5, axis=0),
@@ -150,6 +161,7 @@ def _make_summarize(cfg, unravel, chains, samples, n_dists,
             "accept_prob": info["accept_prob"].mean(),
             "n_leapfrog": info["n_leapfrog"].astype(jnp.float32).mean(),
             "logp_rhat": lp_rhat,
+            "logp_chain_gap": lp_gap,
             # sampler state for chained refits (warm_start=): final
             # positions, adapted metric, and adapted step size per chain
             "state_q": draws[:, -1, :],
@@ -400,14 +412,20 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     kwargs of ``escalation_mask``; ``escalate_kw`` overrides the refit's
     sampler kwargs. ``diagnostics['escalated']`` records the mask.
 
-    ``init_from_ridge`` (optimize mode, single series DRT): seed every
-    spectrum's L-BFGS from a batched hyper-lambda ridge solution (ONE run
-    from the init instead of ``n_restarts`` random restarts — the
-    single-spectrum ``Inverter.fit(init_from_ridge=True)`` semantics,
-    reference: inversion.py:1616-1682). With ``outliers=True``, spectra
-    rows whose ridge residual exceeds 3 standard deviations seed
-    ``sigma_out`` high (z-score variant of the reference's IQR check).
-    ``ridge_kw`` overrides the underfitted-ridge defaults.
+    ``init_from_ridge`` (single-distribution fits): seed the fit from a
+    hyper-lambda ridge solution (the single-spectrum
+    ``Inverter.fit(init_from_ridge=True)`` semantics, reference:
+    inversion.py:1616-1682). In optimize mode, ONE L-BFGS run from the
+    init replaces ``n_restarts`` random restarts (series: batched ridge;
+    parallel: per-spectrum host ridge). In sample mode, every chain starts
+    at the ridge solution's coordinates — the escape hatch for multimodal
+    parallel posteriors whose random-init chains stick in the Y~0
+    spurious mode (BimodalBP-DDT, benchmarks/probe_bpddt.py); the
+    gate-triggered escalation refit applies it automatically. With
+    ``outliers=True``, spectra rows whose ridge residual exceeds 3
+    standard deviations seed ``sigma_out`` high (z-score variant of the
+    reference's IQR check). ``ridge_kw`` overrides the underfitted-ridge
+    defaults.
     """
     if quality is not None:
         if quality not in QUALITY_PRESETS:
@@ -445,12 +463,13 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     n_dists = len(cfg.dists)
 
     if init_from_ridge:
-        if mode != "optimize":
-            raise ValueError("init_from_ridge is supported for "
-                             "mode='optimize' batches")
-        if n_dists > 1 or cfg.dists[0].dist_type != "series":
+        if n_dists > 1:
             raise ValueError("Ridge initialization can only be performed "
-                             "for single series-distribution fits")
+                             "for single-distribution fits")
+        if mode == "sample" and (warm_start is not None
+                                 or precondition is not None):
+            raise ValueError("init_from_ridge is a cold-start "
+                             "initialization; drop warm_start/precondition")
 
     # per-spectrum scaling, including the calibrated Ystar admittance-std
     # targets for a single parallel planar DDT
@@ -476,6 +495,91 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     def logp_for(dat, target):
         d = dat._replace(target=target)
         return lambda q: log_density(cfg, d, unravel(q), jacobian=(mode == "sample"))
+
+    def _ridge_init_values():
+        """Per-spectrum ridge-seeded init values (numpy, b_real rows): the
+        reference's init_from_ridge semantics (inversion.py:1616-1682)
+        generalized to the batch — a batched hyper-lambda ridge pass for a
+        single SERIES distribution, or per-spectrum admittance ridge fits
+        (host loop) for a single PARALLEL distribution. Sampling parallel
+        models NEEDS this escape hatch: random-init chains can stick in the
+        Y~0 spurious mode ~800 nats below the data-fitting mode (the
+        BimodalBP-DDT trap, benchmarks/probe_bpddt.py), where the
+        proportional-error term alpha_prop*Z_hat flattens the likelihood."""
+        rdefaults = dict(penalty="integral", hyper_lambda=True,
+                         lambda_0=1.0, hl_beta=5, weights="modulus")
+        rdefaults.update(ridge_kw or {})
+        d0 = cfg.dists[0]
+        if d0.dist_type == "series":
+            rres = ridge_fit_spectra_batch(
+                frequencies, Z_batch, basis_freq=basis_freq, epsilon=epsilon,
+                basis=basis, **rdefaults)
+            # ridge returns b_real rows; re-pad (padding repeats spectrum 0)
+            iv_x = _pad_rows(np.asarray(rres.coef), b)
+            iv_rinf_t = _pad_rows(np.asarray(rres.r_inf), b)
+            iv_induc_t = _pad_rows(np.asarray(rres.inductance), b)
+            if iv_x.shape[1] != d0.K:
+                raise ValueError(
+                    f"ridge init basis ({iv_x.shape[1]}) does not "
+                    f"match the fit basis ({d0.K})")
+            # into the scaled coordinates (constrain() applies the
+            # Rinf*100 / induc transforms; init_unconstrained's iv contract
+            # expects the pre-transform values)
+            iv_x = iv_x / z_scales[:, None]
+            iv_rinf = np.maximum(iv_rinf_t / z_scales, 1e-10) / 100.0
+            iv_induc = np.maximum(iv_induc_t / z_scales, 1e-10)
+            iv_sig = None
+            if outliers:
+                n_f = len(np.asarray(data.freq))
+                rv = np.concatenate([np.ones(n_f), np.zeros(n_f)])
+                lv = np.concatenate([np.zeros(n_f),
+                                     2.0 * np.pi * np.asarray(data.freq)])
+                zhat = (iv_x @ np.asarray(data.A[0]).T
+                        + (iv_rinf * 100.0)[:, None] * rv[None, :]
+                        + iv_induc[:, None] * lv[None, :])
+                resid = np.asarray(targets) - zhat
+                sig = resid.std(axis=1, keepdims=True) + 1e-12
+                flag = ((np.abs(resid[:, :n_f]) > 3 * sig)
+                        | (np.abs(resid[:, n_f:]) > 3 * sig))
+                iv_sig = np.where(flag, 1.0, 0.1)
+        else:
+            # single parallel distribution: the batched ridge path is
+            # series-only, so run the reference-faithful per-spectrum
+            # admittance ridge on the host (one-time init math, CPU-cheap)
+            from ..inverter import Inverter   # lazy: inverter -> parallel
+            name0 = sort_distributions(dists_norm)[0]
+            clean = {name0: {k: v for k, v in dists_norm[name0].items()
+                             if not k.startswith("_")}}
+            iv_x = np.zeros((b_real, d0.K))
+            iv_rinf = np.zeros(b_real)
+            iv_induc = np.zeros(b_real)
+            iv_sig = np.full((b_real, len(np.asarray(data.freq))),
+                             0.1) if outliers else None
+            with _cpu_context():
+                inv = Inverter(distributions=clean, basis_freq=basis_freq,
+                               basis=basis, epsilon=epsilon)
+                for i in range(b_real):
+                    inv.ridge_fit(frequencies, Z_batch[i], **rdefaults)
+                    coef = inv.distribution_fits[name0]["coef"]
+                    # scaled admittance = z_scale * Y, so parallel
+                    # coefficients SCALE UP by z_scale
+                    # (reference: inversion.py:2445-2450)
+                    iv_x[i] = coef * z_scales[i]
+                    iv_rinf[i] = max(float(inv.R_inf) / z_scales[i],
+                                     1e-10) / 100.0
+                    iv_induc[i] = max(float(inv.inductance) / z_scales[i],
+                                      1e-10)
+                    if outliers:
+                        oidx = inv.check_outliers(frequencies, Z_batch[i],
+                                                  threshold=3,
+                                                  use_existing_fit=True)
+                        iv_sig[i][np.asarray(oidx).ravel()] = 1.0
+            iv_x = _pad_rows(iv_x, b)
+            iv_rinf = _pad_rows(iv_rinf, b)
+            iv_induc = _pad_rows(iv_induc, b)
+            if iv_sig is not None:
+                iv_sig = _pad_rows(iv_sig, b)
+        return iv_x, iv_rinf, iv_induc, iv_sig
 
     if mode == "sample":
         # basis-evaluation matrices for in-program gamma diagnostics of the
@@ -569,10 +673,12 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                                                        phi_mon, phi_eval)
                     )(draws, info)
 
-            def fit_one(target, skey, dat, phi_mon, phi_eval):
+            def fit_one(target, skey, dat, phi_mon, phi_eval,
+                        q0_override=None):
                 logp = logp_for(dat, target)
                 k_init, k_run = jax.random.split(skey)
-                q0 = init_q0s(dat, target, k_init, chains)
+                q0 = (q0_override if q0_override is not None
+                      else init_q0s(dat, target, k_init, chains))
                 draws, info = sample_shmc(logp, q0, k_run, warmup=warmup,
                                           samples=samples, cfg=sh_cfg)
                 return pooled_summary(dat, draws, info, phi_mon, phi_eval)
@@ -582,10 +688,12 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         elif sampler == "chees":
             ch_cfg = chees_cfg if chees_cfg is not None else ChEESConfig()
 
-            def fit_one(target, skey, dat, phi_mon, phi_eval):
+            def fit_one(target, skey, dat, phi_mon, phi_eval,
+                        q0_override=None):
                 logp = logp_for(dat, target)
                 k_init, k_run = jax.random.split(skey)
-                q0 = init_q0s(dat, target, k_init, chains)
+                q0 = (q0_override if q0_override is not None
+                      else init_q0s(dat, target, k_init, chains))
                 draws, info = sample_chees(logp, q0, k_run, warmup=warmup,
                                            samples=samples, cfg=ch_cfg)
                 return pooled_summary(dat, draws, info, phi_mon, phi_eval)
@@ -593,7 +701,8 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             prog_extra = ("chees", ch_cfg, chains, warmup, samples,
                           phi_mon_np.shape, phi_eval_np.shape)
         elif sampler == "nuts":
-            def fit_one(target, skey, dat, phi_mon, phi_eval):
+            def fit_one(target, skey, dat, phi_mon, phi_eval,
+                        q0_override=None):
                 logp = logp_for(dat, target)
 
                 def one_chain(ckey):
@@ -605,7 +714,17 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
                     return sample_nuts(logp, q0, k_run, warmup=warmup,
                                        samples=samples, cfg=nuts_cfg)
 
-                draws, info = jax.vmap(one_chain)(jax.random.split(skey, chains))
+                def one_chain_q0(ckey, q0):
+                    k_run = jax.random.split(ckey)[1]
+                    return sample_nuts(logp, q0, k_run, warmup=warmup,
+                                       samples=samples, cfg=nuts_cfg)
+
+                if q0_override is None:
+                    draws, info = jax.vmap(one_chain)(
+                        jax.random.split(skey, chains))
+                else:
+                    draws, info = jax.vmap(one_chain_q0)(
+                        jax.random.split(skey, chains), q0_override)
                 return summarize(dat, draws, info, phi_mon, phi_eval)
 
             prog_extra = (nuts_cfg, chains, warmup, samples,
@@ -890,40 +1009,53 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
             fit_in_axes = (0, 0, None, None, None)
             if flat_fit is not None:
                 shared_args = shared_args + tuple(shared_flat)
+            if init_from_ridge:
+                if flat_fit is not None:
+                    raise ValueError("init_from_ridge does not support "
+                                     "pallas_traj/flat_chain; use the "
+                                     "generic sampler paths")
+                # host-side ridge pass -> per-spectrum chain starting
+                # positions (every chain starts at the ridge solution's
+                # coordinates, non-overridden params Stan-random — the
+                # single-spectrum Inverter.fit(init_from_ridge=True)
+                # semantics, reference: inversion.py:1616-1682)
+                iv_x, iv_rinf, iv_induc, iv_sig = _ridge_init_values()
+                with _cpu_context():
+                    def q0_for_spectrum(t_row, sk, ivx, ivr, ivl, ivs):
+                        iv = {"x_0": ivx, "Rinf_raw": ivr, "induc_raw": ivl}
+                        if ivs is not None:
+                            iv["sigma_out_raw"] = ivs
+                        ks = jax.random.split(
+                            jax.random.fold_in(sk, 977), chains)
+                        p0s = jax.vmap(lambda k: init_unconstrained(
+                            cfg, data._replace(target=t_row), k,
+                            init_values=iv))(ks)
+                        return jax.vmap(lambda p: ravel_pytree(
+                            jax.tree.map(lambda a: a.astype(dtype),
+                                         p))[0])(p0s)
+
+                    q0_init = jnp.stack([
+                        q0_for_spectrum(
+                            targets[i], spectrum_keys[i], iv_x[i],
+                            iv_rinf[i], iv_induc[i],
+                            None if iv_sig is None else iv_sig[i])
+                        for i in range(b)])
+                extra_args = (q0_init.astype(dtype),)
+                fit_in_axes = (0, 0, 0, None, None, None)
+                prog_key = base_key + ("ridge-init-q0",)
+                _inner_fit = fit_one
+
+                def fit_one(target, skey, q0c, dat, phi_mon, phi_eval):  # noqa: F811 — ridge-init arg order
+                    return _inner_fit(target, skey, dat, phi_mon, phi_eval,
+                                      q0_override=q0c)
         elif init_from_ridge:
-            # ---- host-side batched underfitted-ridge init pass ----
-            rdefaults = dict(penalty="integral", hyper_lambda=True,
-                             lambda_0=1.0, hl_beta=5, weights="modulus")
-            rdefaults.update(ridge_kw or {})
-            rres = ridge_fit_spectra_batch(
-                frequencies, Z_batch, basis_freq=basis_freq, epsilon=epsilon,
-                basis=basis, **rdefaults)
-            if rres.coef.shape[1] != cfg.dists[0].K:
-                raise ValueError(
-                    f"ridge init basis ({rres.coef.shape[1]}) does not match "
-                    f"the fit basis ({cfg.dists[0].K})")
-            # into the MAP's scaled coordinates (constrain() applies the
-            # Rinf*100 / induc*scale transforms; init_unconstrained's iv
-            # contract expects the pre-transform values)
-            iv_x = rres.coef / z_scales[:, None]
-            iv_rinf = np.maximum(rres.r_inf / z_scales, 1e-10) / 100.0
-            iv_induc = np.maximum(rres.inductance / z_scales, 1e-10)
+            # ---- host-side ridge init pass (series: batched; parallel:
+            # per-spectrum host loop) ----
+            iv_x, iv_rinf, iv_induc, iv_sig = _ridge_init_values()
             extra_args = (jnp.asarray(iv_x, dtype),
                           jnp.asarray(iv_rinf, dtype),
                           jnp.asarray(iv_induc, dtype))
-            if outliers:
-                n_f = len(np.asarray(data.freq))
-                rv = np.concatenate([np.ones(n_f), np.zeros(n_f)])
-                lv = np.concatenate([np.zeros(n_f),
-                                     2.0 * np.pi * np.asarray(data.freq)])
-                zhat = (iv_x @ np.asarray(data.A[0]).T
-                        + (iv_rinf * 100.0)[:, None] * rv[None, :]
-                        + iv_induc[:, None] * lv[None, :])
-                resid = np.asarray(targets) - zhat
-                sig = resid.std(axis=1, keepdims=True) + 1e-12
-                flag = ((np.abs(resid[:, :n_f]) > 3 * sig)
-                        | (np.abs(resid[:, n_f:]) > 3 * sig))
-                iv_sig = np.where(flag, 1.0, 0.1)
+            if iv_sig is not None:
                 extra_args = extra_args + (jnp.asarray(iv_sig, dtype),)
             shared_args = (data,)
             fit_in_axes = (0, 0) + (0,) * len(extra_args) + (None,)
@@ -1076,10 +1208,16 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
     # detects that tail in-program and escalates it — only the flagged
     # spectra pay the adaptive sampler's cost.
     if (mode == "sample" and escalate is None):
-        # default ON for the fixed-trajectory production sampler only —
-        # NUTS already adapts per posterior
-        escalate = (sampler == "shmc" and warm_start is None
-                    and flat_fit is None)
+        # default ON for the fixed-trajectory production sampler (a NUTS
+        # refit adds trajectory adaptivity) AND for single-distribution
+        # NUTS fits (a ridge-seeded refit escapes multimodal traps NUTS
+        # trajectories cannot — the BimodalBP-DDT Y~0 mode,
+        # benchmarks/probe_bpddt.py; for multi-dist NUTS the refit would
+        # only reseed, so it stays opt-in)
+        escalate = (warm_start is None and flat_fit is None
+                    and (sampler == "shmc"
+                         or (sampler == "nuts" and n_dists == 1
+                             and not init_from_ridge)))
     if mode == "sample" and escalate:
         gate_kw = dict(n_draws=chains * samples)
         gate_kw.update(escalate_gate or {})
@@ -1088,6 +1226,11 @@ def fit_spectra_batch(frequencies, Z_batch, mode: str = "sample",
         if esc_mask.any():
             esc_kw = dict(sampler="nuts", max_tree_depth=8, tree_scan=True,
                           scan_unroll=2, ncp=ncp)
+            if n_dists == 1:
+                # seed the refit's chains from a ridge solution: stuck
+                # chains (the logp_chain_gap gate) are an INITIALIZATION
+                # pathology, not a trajectory-length one
+                esc_kw["init_from_ridge"] = True
             esc_kw.update(escalate_kw or {})
             sub_z_scale = None
             if z_scale is not None:
@@ -1138,6 +1281,12 @@ BF16X3_WARN_STEPS = 64            # n_steps above which bf16x3 warns
 BF16X3_WARN_SAMPLES = 400         # samples above which bf16x3 warns
 
 
+ESCALATE_LOGP_GAP = 100.0         # nats; stuck-chain detector, active at
+                                  # Stan-grade budgets (>= ESCALATE_MIN_
+                                  # DRAWS draws) where converged healthy
+                                  # chains sit within ~40 nats while the
+                                  # BP-DDT trap sits ~800 below — see
+                                  # escalation_mask docstring
 ESCALATE_LOGP_RHAT = 4.5          # absolute gate (strict budgets)
 ESCALATE_MIN_DRAWS = 1600         # chains*samples below which the logp
                                   # gate is OFF: split-Rhat is mechanically
@@ -1155,10 +1304,20 @@ ESCALATE_LAMBDA_MAX = np.inf      # measured NON-discriminating: healthy
 
 def escalation_mask(diagnostics, b_real, ess_bulk_min=None,
                     bf16x3_tol=None, logp_rhat=None, lambda_max=None,
-                    n_draws=None):
+                    n_draws=None, logp_gap=None):
     """Per-spectrum under-mixing flags from in-program diagnostics.
 
     Returns a boolean (b_real,) mask flagging spectra where any of:
+
+    - between-chain mean-logp gap (``logp_chain_gap``) above
+      ESCALATE_LOGP_GAP nats — a stuck-chain detector: a chain K nats
+      below the best carries e^-K posterior weight, so a 100+ nat gap at
+      a converged budget is never legitimate multimodality (healthy
+      full-budget gaps are ~<40 nats; the BimodalBP-DDT Y~0 trap sits
+      ~800 nats below, benchmarks/probe_bpddt.py). Budget-aware by
+      default (screening-budget funnel chains freeze at legitimately
+      different logp levels); an explicit ``logp_gap=`` applies
+      unconditionally;
 
     - worst-parameter bulk ESS (rank-normalized, Vehtari et al. 2021)
       below its floor — catastrophic non-mixing;
@@ -1189,6 +1348,20 @@ def escalation_mask(diagnostics, b_real, ess_bulk_min=None,
         lambda_max = ESCALATE_LAMBDA_MAX
     ess = np.asarray(diagnostics["ess_bulk_min"])[:b_real]
     mask = ess < ess_bulk_min
+    if "logp_chain_gap" in diagnostics:
+        gap = np.asarray(diagnostics["logp_chain_gap"])[:b_real]
+        if logp_gap is None:
+            # budget-aware like the logp_rhat gate: at screening budgets
+            # (short warmup) healthy funnel chains freeze at legitimately
+            # different logp levels (bench-config ZARC: gap p50 ~77,
+            # max ~620 nats) and the gate cannot discriminate; at
+            # Stan-grade budgets chains converge in distribution and the
+            # stuck-mode gap (~800 nats, benchmarks/probe_bpddt.py)
+            # separates cleanly from healthy (~<40)
+            if n_draws is None or n_draws >= ESCALATE_MIN_DRAWS:
+                mask = mask | (gap > ESCALATE_LOGP_GAP)
+        else:
+            mask = mask | (gap > logp_gap)
     lp = np.asarray(diagnostics["logp_rhat"])[:b_real]
     if logp_rhat is None:
         if n_draws is None or n_draws >= ESCALATE_MIN_DRAWS:

@@ -51,13 +51,15 @@ def test_batched_map_init_from_ridge():
                               init_from_ridge=True, outliers=True,
                               random_seed=0)
     assert np.isfinite(res_o.coef).all()
-    # unsupported combinations fail loudly
-    with pytest.raises(ValueError, match="optimize"):
-        fit_spectra_batch(freq, Zb, mode="sample", init_from_ridge=True)
-    with pytest.raises(ValueError, match="series"):
+    # unsupported combinations fail loudly (multi-dist, like the reference;
+    # sample-mode and parallel single-dist ridge init are round-5 features,
+    # tests/test_round5.py)
+    with pytest.raises(ValueError, match="single-distribution"):
         fit_spectra_batch(
             freq, Zb, mode="optimize", init_from_ridge=True,
-            distributions={"DDT": {"kernel": "DDT", "dist_type": "parallel"}})
+            distributions={"DRT": {"kernel": "DRT"},
+                           "DDT": {"kernel": "DDT",
+                                   "dist_type": "parallel"}})
 
 
 def test_batched_map_sharded_mesh_matches_unsharded():

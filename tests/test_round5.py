@@ -169,10 +169,19 @@ def test_escalation_refits_flagged_spectra():
                              ncp=True, escalate_gate=dict(ess_bulk_min=0.0))
     assert res2.diagnostics["escalated"].sum() == 0
 
-    # default: ON for shmc (auto), OFF for nuts
+    # default: ON for shmc (auto) and for single-dist nuts (ridge-seeded
+    # refit = multimodal-trap escape, round 5); the mask is recorded either
+    # way. Gates forced off so the tiny test budget never refits.
     res3 = fit_spectra_batch(freq, zb, mode="sample", chains=2, warmup=20,
-                             samples=20, sampler="nuts", max_tree_depth=3)
-    assert "escalated" not in res3.diagnostics
+                             samples=20, sampler="nuts", max_tree_depth=3,
+                             escalate_gate=dict(ess_bulk_min=0.0))
+    assert res3.diagnostics["escalated"].sum() == 0
+    # OFF when the primary fit is already ridge-seeded (the refit would
+    # only reseed)
+    res4 = fit_spectra_batch(freq, zb, mode="sample", chains=2, warmup=20,
+                             samples=20, sampler="nuts", max_tree_depth=3,
+                             init_from_ridge=True)
+    assert "escalated" not in res4.diagnostics
 
 
 def test_escalation_splice_changes_only_flagged_rows():
@@ -305,3 +314,67 @@ def test_monitor_ess_detects_autocorrelation():
     tau = (1 + rho) / (1 - rho)
     est_tau = chains * s / np.median(e_ar)
     assert 0.5 * tau < est_tau < 2.0 * tau, (est_tau, tau)
+
+
+def test_escalation_mask_logp_gap():
+    """Stuck-chain (absolute between-chain mean-logp gap) gate: explicit
+    threshold applies unconditionally; the default is budget-aware (off at
+    screening budgets, where healthy short-warmup funnel chains freeze at
+    legitimately different logp levels)."""
+    from bayes_drt_tpu.parallel.batch import (ESCALATE_MIN_DRAWS,
+                                              escalation_mask)
+
+    d = {"ess_bulk_min": np.array([5.0, 5.0, 5.0]),
+         "logp_rhat": np.array([1.2, 1.2, 1.2]),
+         "logp_chain_gap": np.array([2.0, 150.0, 800.0])}
+    assert escalation_mask(d, 3, logp_gap=100.0).tolist() == [
+        False, True, True]
+    # budget-aware default: active only at Stan-grade budgets
+    assert escalation_mask(d, 3, n_draws=ESCALATE_MIN_DRAWS).tolist() == [
+        False, True, True]
+    assert escalation_mask(d, 3, n_draws=600).tolist() == [
+        False, False, False]
+
+
+def test_sample_init_from_ridge_series():
+    """Sample-mode ridge-seeded chain starts (reference
+    inversion.py:1616-1682 generalized to the batch): recovery intact and
+    the program is distinct from the random-init one."""
+    freq, z = _load("Z_ZARC_uniform_1.0.csv")
+    res = fit_spectra_batch(freq, z[None, :], mode="sample", chains=2,
+                            warmup=40, samples=40, ncp=True, sampler="nuts",
+                            max_tree_depth=5, init_from_ridge=True,
+                            escalate=False, random_seed=0)
+    gt = pd.read_csv("/root/reference/data/simulated/gamma_ZARC.csv")
+    g = evaluate_gamma(res, gt["tau"].values)[0]
+    rp = np.trapezoid(gt["gamma"].values, np.log(gt["tau"].values))
+    rmse = np.sqrt(np.mean((g - gt["gamma"].values) ** 2))
+    assert rmse < 0.10 * rp, rmse
+    zp = predict_Z_batch(res, freq)[0]
+    assert np.median(np.abs(zp - z) / np.abs(z)) < 0.05
+
+
+def test_bpddt_trap_escalation_rescue():
+    """The BimodalBP-DDT Y~0 trap (benchmarks/probe_bpddt.py): random-init
+    chains stick in a spurious mode ~800 nats below the data-fitting one
+    (huge induc + tiny Y, the proportional-error term flattens the
+    likelihood), poisoning E[Z] by ~300x while gamma recovery passes. The
+    stuck-chain gate + ridge-seeded escalation refit must rescue it
+    through the default batch API."""
+    freq, z = _load("Z_BimodalBP-DDT_noiseless.csv")
+    dists = {"DDT": {"kernel": "DDT", "symmetry": "planar", "bc": "blocking",
+                     "dist_type": "parallel",
+                     "basis_freq": np.logspace(6, -3, 91)}}
+    with pytest.warns(UserWarning, match="mixing gate"):
+        res = fit_spectra_batch(
+            freq, z[None, :], mode="sample", chains=4, warmup=150,
+            samples=150, ncp=True, sampler="nuts", tree_scan=True,
+            max_tree_depth=8, random_seed=3, distributions=dists,
+            sigma_min=0.005,
+            # unconditional gap gate (the test budget is screening-size;
+            # the default gate needs Stan-grade budgets)
+            escalate_gate={"logp_gap": 100.0})
+    assert res.diagnostics["escalated"][0]
+    zp = predict_Z_batch(res, freq)[0]
+    zdev = np.median(np.abs(zp - z) / np.abs(z))
+    assert zdev < 0.05, zdev
