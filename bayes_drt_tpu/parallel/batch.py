@@ -93,9 +93,15 @@ QUALITY_PRESETS = {
         shmc_cfg=SHMCConfig(n_steps=32, warm_steps=32, leaf_unroll=2,
                             draw_unroll=2, recompute_grad=True,
                             eps_quantile=0.5, precision="high")),
+    # md8, not Stan's md10: the DRT posterior's trajectories saturate at
+    # ~255 leapfrogs (md8) and the md10 x 2000-draw program crashes the
+    # TPU worker (benchmarks/sweep_strict.py). Measured on TPU (B=32,
+    # --escalate): 117 spectra/min, gamma RMSE 0.71% Rp, coverage 0.997,
+    # logp split-Rhat p50 1.08 / p90 1.18, divergence 0.4%
+    # (results/sweep_strict_b32.csv).
     "strict": dict(
         sampler="nuts", ncp=True, chains=4, warmup=1000, samples=1000,
-        max_tree_depth=10, tree_scan=True, scan_unroll=2),
+        max_tree_depth=8, tree_scan=True, scan_unroll=2),
 }
 
 

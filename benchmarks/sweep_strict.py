@@ -33,6 +33,12 @@ ARMS = {
                      tree_scan=True, scan_unroll=2), 500, 500),
     "nuts1000": (dict(sampler="nuts", max_tree_depth=10,
                       tree_scan=True, scan_unroll=2), 1000, 1000),
+    # md10 x 2000 draws crashes the axon worker (program too large — the
+    # known fused_draws failure mode); md8 saturates the DRT posterior's
+    # trajectories anyway (n_leap ~255 at md8, probe_bpddt.py arms agree
+    # md8 == md10 on every gate)
+    "nuts1000_md8": (dict(sampler="nuts", max_tree_depth=8,
+                          tree_scan=True, scan_unroll=2), 1000, 1000),
     "nuts2000": (dict(sampler="nuts", max_tree_depth=10,
                       tree_scan=True, scan_unroll=2), 1000, 2000),
     "shmc128": (dict(sampler="shmc", n_steps=128), 500, 500),
@@ -40,7 +46,7 @@ ARMS = {
 }
 
 
-def run_arm(name, freq, Zb, gt_tau, gt_g, rp, chains=4):
+def run_arm(name, freq, Zb, gt_tau, gt_g, rp, chains=4, escalate=False):
     from bayes_drt_tpu.infer.chees import SHMCConfig
     from bayes_drt_tpu.parallel import evaluate_gamma, fit_spectra_batch
 
@@ -48,7 +54,8 @@ def run_arm(name, freq, Zb, gt_tau, gt_g, rp, chains=4):
     kw = dict(kw)
     sampler = kw.pop("sampler")
     skw = dict(chains=chains, warmup=warmup, samples=samples, ncp=True,
-               random_seed=0, gamma_eval_tau=gt_tau, escalate=False)
+               random_seed=0, gamma_eval_tau=gt_tau,
+               escalate=None if escalate else False)
     if sampler == "shmc":
         n_steps = kw.pop("n_steps", 32)
         skw["sampler"] = "shmc"
@@ -88,6 +95,7 @@ def run_arm(name, freq, Zb, gt_tau, gt_g, rp, chains=4):
         min_ess_min=float(me.min()),
         ess_bulk_min_p10=float(np.percentile(np.asarray(d["ess_bulk_min"]), 10)),
         div_rate=float(np.asarray(d["divergence_rate"]).mean()),
+        n_escalated=int(np.asarray(d.get("escalated", np.zeros(1))).sum()),
     )
     print(pd.Series(row).to_string(), file=sys.stderr, flush=True)
     return row
@@ -99,6 +107,10 @@ def main():
     ap.add_argument("--arms", nargs="+", default=["shmc_fast", "nuts1000"])
     ap.add_argument("--out", default="sweep_strict.csv")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--escalate", action="store_true",
+                    help="measure the arm with the DEFAULT "
+                         "mixing-gate escalation (what the "
+                         "quality presets actually ship)")
     args = ap.parse_args()
 
     import jax
@@ -114,7 +126,8 @@ def main():
     gt_tau, gt_g = gt["tau"].values, gt["gamma"].values
     rp = float(np.trapezoid(gt_g, np.log(gt_tau)))
 
-    rows = [run_arm(a, freq, Zb, gt_tau, gt_g, rp) for a in args.arms]
+    rows = [run_arm(a, freq, Zb, gt_tau, gt_g, rp,
+                escalate=args.escalate) for a in args.arms]
     df = pd.DataFrame(rows)
     out = os.path.join(os.path.dirname(__file__), "results", args.out)
     df.to_csv(out, index=False)
